@@ -1,0 +1,171 @@
+"""Depth-by-depth candidate enumerator (host side).
+
+TPU-native redesign of the reference's ``FastExpressionGenerator.stream_generate``
+(lean_normalizer/lean_bridge_fixed.py:113-215): instead of building Python
+strings and re-parsing them with sympify, candidates are composed *structurally*
+as tapes (register-shifted concatenation — no parsing anywhere).  Dedup is not
+done here: the engine fingerprints each batch on-device and feeds the surviving
+unique expressions back via :meth:`Enumerator.add_unique`, which is what the
+next depth's combinations draw from (the analog of the reference's
+``expressions_by_depth`` of normalized forms).
+
+Prune rules reproduced from the reference:
+- skip unary ops on constant-only operands          (lean_bridge_fixed.py:143-145)
+- skip inv(inv(...)) and sqrt/square/pow_* of '1'   (lean_bridge_fixed.py:148-152)
+- skip constant-only x constant-only binaries       (lean_bridge_fixed.py:161-164)
+- commutative operand ordering for add/mul          (lean_bridge_fixed.py:167-169)
+- skip a - a, mul by 1, div by 1, a / a, geom_sum(., 1)  (:173-195)
+- sqrt_shift_* operands restricted to coordinate-like expressions
+  (general_method_paper_reproduction.py:425-428, lean_bridge_fixed.py:217-219)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from .models.base import Problem
+from .ops import optable as ot
+from .ops.tape import Tape, apply_binary, apply_unary
+
+
+@dataclass
+class Candidate:
+    tape: Tape
+    depth: int
+    expr_str: str
+    top_op: str               # surface-op name that produced it ('' for prims)
+    has_var: bool
+    is_one: bool = False      # literal constant 1 (for prune rules)
+
+
+@dataclass
+class Unique(Candidate):
+    uid: int = -1
+
+
+class Enumerator:
+    """Streams candidate batches per depth; uniques are fed back after dedup."""
+
+    def __init__(self, problem: Problem, include_special_ops: bool = True,
+                 prune: bool = True):
+        self.problem = problem
+        self.prune = prune
+        ops = ot  # alias
+        self.unary = [(n, ot.UNARY_OPS[n]) for n in problem.unary_ops]
+        binary_names = list(problem.binary_ops)
+        if include_special_ops:
+            binary_names += list(problem.special_ops)
+        self.binary = [(n, ot.ALL_SURFACE_OPS[n]) for n in binary_names]
+        self.uniques_by_depth: Dict[int, List[Unique]] = {}
+        self._next_uid = 0
+        # coordinate-like uids (operand restriction for sqrt_shift ops,
+        # reference lean_bridge_fixed.py:217-219)
+        self._coordinate_uids: Set[int] = set()
+
+    # ------------------------------------------------------------------
+    def primitive_candidates(self) -> List[Candidate]:
+        out = []
+        for t, s in zip(self.problem.primitives, self.problem.primitive_strs):
+            out.append(Candidate(
+                tape=t, depth=1, expr_str=s, top_op="",
+                has_var=t.uses_var(),
+                is_one=t.is_const_one(self.problem.consts)))
+        return out
+
+    def add_unique(self, cand: Candidate) -> Unique:
+        u = Unique(tape=cand.tape, depth=cand.depth, expr_str=cand.expr_str,
+                   top_op=cand.top_op, has_var=cand.has_var,
+                   is_one=cand.is_one, uid=self._next_uid)
+        self._next_uid += 1
+        self.uniques_by_depth.setdefault(cand.depth, []).append(u)
+        if self._is_coordinate_like(u):
+            self._coordinate_uids.add(u.uid)
+        return u
+
+    def _is_coordinate_like(self, u: Unique) -> bool:
+        v0, v1 = self.problem.var_names
+        return u.expr_str in (v0, v1, f"({v0} + {v1})", f"({v0} - {v1})",
+                              f"({v1} - {v0})",
+                              f"{v0} + {v1}", f"{v0} - {v1}", f"{v1} - {v0}")
+
+    # ------------------------------------------------------------------
+    def candidates_at_depth(self, depth: int) -> Iterator[Candidate]:
+        """All pruned candidates at ``depth`` (>= 2), composed from the
+        unique sets of lower depths."""
+        assert depth >= 2
+        consts = self.problem.consts
+        prune = self.prune
+        seen_keys: Set[bytes] = set()
+
+        def fresh(tape: Tape) -> bool:
+            k = tape.key()
+            if k in seen_keys:
+                return False
+            seen_keys.add(k)
+            return True
+
+        # unary of depth-1 uniques
+        for u in self.uniques_by_depth.get(depth - 1, []):
+            if prune and not u.has_var:
+                continue
+            for name, op in self.unary:
+                if prune:
+                    if name == "inv" and u.top_op == "inv":
+                        continue
+                    if name in ("sqrt", "square", "pow_3_2",
+                                "pow_neg_3_2") and u.is_one:
+                        continue
+                t = apply_unary(op, u.tape, consts)
+                if not fresh(t):
+                    continue
+                yield Candidate(tape=t, depth=depth,
+                                expr_str=f"{name}({u.expr_str})",
+                                top_op=name, has_var=u.has_var)
+
+        # binary combining depth d1 x depth (depth - d1)
+        for d1 in range(1, depth):
+            d2 = depth - d1
+            if d2 < 1 or d2 >= depth:
+                continue
+            left_set = self.uniques_by_depth.get(d1, [])
+            right_set = self.uniques_by_depth.get(d2, [])
+            for u1 in left_set:
+                for u2 in right_set:
+                    if prune and not (u1.has_var or u2.has_var):
+                        continue
+                    for name, op in self.binary:
+                        a, b = u1, u2
+                        if name in ("add", "mul") and a.uid > b.uid:
+                            a, b = b, a
+                        if prune:
+                            if name == "sub" and a.uid == b.uid:
+                                continue
+                            if name == "mul" and (a.is_one or b.is_one):
+                                continue
+                            if name == "div" and (b.is_one
+                                                  or a.uid == b.uid):
+                                continue
+                            if name == "geom_sum" and b.is_one:
+                                continue
+                            if name in ("sqrt_shift_neg", "sqrt_shift_pos") \
+                                    and not (
+                                        a.uid in self._coordinate_uids
+                                        and b.uid in self._coordinate_uids):
+                                continue
+                        t = apply_binary(op, a.tape, b.tape, consts)
+                        if not fresh(t):
+                            continue
+                        fmt = ot.SURFACE_FORMAT.get(name)
+                        if fmt:
+                            s = fmt.format(a=a.expr_str, b=b.expr_str)
+                        else:
+                            s = f"{name}({a.expr_str}, {b.expr_str})"
+                        yield Candidate(tape=t, depth=depth, expr_str=s,
+                                        top_op=name,
+                                        has_var=a.has_var or b.has_var)
+
+    def count_uniques(self) -> int:
+        return self._next_uid

@@ -1,0 +1,144 @@
+"""New problem families beyond the reference: Laplace and Grad–Shafranov.
+
+The BASELINE ladder (BASELINE.md targets) calls for extending the engine to
+new problems; these two exercise the plugin layer with different residual
+operators while reusing the same op library and search machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..ops.tape import ConstTable
+from .base import Problem, register
+from .residuals import grad_shafranov_residual, laplace_residual
+
+_L_SCREEN = np.array([
+    [0.80, 0.857], [0.45, 0.31], [1.25, 0.55], [0.60, 0.95],
+    [1.10, 0.17], [0.35, 1.15], [0.95, 1.33], [1.35, 0.71],
+], dtype=np.float64)
+_L_FP = np.array([
+    [0.67, 0.43], [1.05, 0.89], [0.52, 1.21],
+    [0.91, 0.23], [1.31, 0.57], [0.73, 1.07],
+], dtype=np.float64)
+
+
+class LaplaceProblem(Problem):
+    """2-D Laplace equation u_xx + u_yy = 0 on coordinates (X, Y)."""
+
+    def __init__(self):
+        import sympy as sp
+        consts = ConstTable()
+        super().__init__(
+            name="Laplace (2D harmonic functions)",
+            slug="laplace",
+            var_names=("X", "Y"),
+            consts=consts,
+            primitives=[],
+            primitive_strs=[],
+            unary_ops=["neg", "inv", "sqrt", "square", "exp", "exp_neg"],
+            binary_ops=["add", "sub", "mul", "div"],
+            special_ops=["log_mul"],
+            residual_order=2,
+            residual_fn=laplace_residual,
+            known_solutions={
+                "X**2 - Y**2": "Quadrupole (Re z^2)",
+                "X*Y": "Saddle (Im z^2)",
+                "X": "Uniform X",
+                "log(X**2 + Y**2)": "Point charge (2D log potential)",
+            },
+            screen_points=_L_SCREEN,
+            fingerprint_points=_L_FP,
+            output_root="problems/laplace/outputs",
+        )
+        X, Y = self.sympy_vars()
+        prim_exprs = [X, Y, X**2 + Y**2, sp.Integer(1)]
+        self.primitives = [self.compile_sympy(e) for e in prim_exprs]
+        self.primitive_strs = [str(e) for e in prim_exprs]
+
+    def sympy_residual(self, u):
+        import sympy as sp
+        X, Y = self.sympy_vars()
+        u = u.subs({s: (X if str(s) == "X" else Y)
+                    for s in u.free_symbols if str(s) in ("X", "Y")})
+        return sp.diff(u, X, 2) + sp.diff(u, Y, 2)
+
+    def heavy_checks(self, u) -> Tuple[bool, str]:
+        import sympy as sp
+        X, Y = self.sympy_vars()
+        try:
+            if sp.diff(u, X) == 0 and sp.diff(u, Y) == 0:
+                return False, "Zero gradient (constant expression)"
+        except Exception:
+            pass
+        return True, "ok"
+
+    def _math_definition(self) -> str:
+        return "u_XX + u_YY = 0"
+
+
+class GradShafranovProblem(Problem):
+    """Homogeneous Grad–Shafranov: Δ* u = u_rr - u_r/rho + u_zz = 0."""
+
+    def __init__(self):
+        import sympy as sp
+        consts = ConstTable()
+        super().__init__(
+            name="Grad-Shafranov (homogeneous)",
+            slug="grad_shafranov",
+            var_names=("rho", "z"),
+            consts=consts,
+            primitives=[],
+            primitive_strs=[],
+            unary_ops=["neg", "inv", "sqrt", "square", "pow_3_2",
+                       "pow_neg_3_2", "exp", "exp_neg"],
+            binary_ops=["add", "sub", "mul", "div", "geom_sum"],
+            special_ops=[],
+            residual_order=2,
+            residual_fn=grad_shafranov_residual,
+            known_solutions={
+                "rho**2": "Vertical flux",
+                "rho**2*z": "X-point flux",
+                "rho**2*(rho**2 - 4*z**2)": "Quadratic Solovev-type",
+            },
+            screen_points=_L_SCREEN,
+            fingerprint_points=_L_FP,
+            output_root="problems/grad_shafranov/outputs",
+        )
+        rho, z = self.sympy_vars()
+        prim_exprs = [rho, z, rho**2 + z**2, sp.Integer(1)]
+        self.primitives = [self.compile_sympy(e) for e in prim_exprs]
+        self.primitive_strs = [str(e) for e in prim_exprs]
+
+    def sympy_residual(self, u):
+        import sympy as sp
+        rho, z = self.sympy_vars()
+        u = u.subs({s: (rho if str(s) == "rho" else z)
+                    for s in u.free_symbols if str(s) in ("rho", "z")})
+        return (sp.diff(u, rho, 2) - sp.diff(u, rho) / rho
+                + sp.diff(u, z, 2))
+
+    def heavy_checks(self, u) -> Tuple[bool, str]:
+        import sympy as sp
+        rho, z = self.sympy_vars()
+        try:
+            if sp.diff(u, rho) == 0 and sp.diff(u, z) == 0:
+                return False, "Zero gradient (constant expression)"
+        except Exception:
+            pass
+        return True, "ok"
+
+    def _math_definition(self) -> str:
+        return "u_rr - u_r/rho + u_zz = 0"
+
+
+@register(["laplace"])
+def _make_laplace() -> LaplaceProblem:
+    return LaplaceProblem()
+
+
+@register(["grad_shafranov", "grad-shafranov", "gs"])
+def _make_gs() -> GradShafranovProblem:
+    return GradShafranovProblem()

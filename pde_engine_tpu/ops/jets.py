@@ -1,0 +1,266 @@
+"""Truncated bivariate Taylor-jet algebra.
+
+The reference validates candidates with SymPy ``diff`` — up to 4th-order
+derivatives for the force-free foliation determinant (reference:
+problems/force_free/validator.py:334-347 applies the Lie operator twice to a
+second-order quantity) and 2nd order for the Kerr residual
+(problems/kerr_magnetosphere/validator.py:77-91).  Nested ``jacfwd`` would pay
+an O(2^order) tangent blowup, so instead the interpreter propagates *jets*:
+truncated bivariate Taylor series
+
+    u(x0 + dx, y0 + dy) = sum_{i+j<=R} c[i,j] dx^i dy^j
+
+with *scaled* coefficients ``c[i,j] = d^{i+j}u / (dx^i dy^j) / (i! j!)``.
+A jet of order R is a flat vector of T(R) = (R+1)(R+2)/2 coefficients ordered
+by total degree (so truncation to a lower order is a prefix slice):
+
+    order 4: (0,0) (1,0) (0,1) (2,0) (1,1) (0,2) (3,0) (2,1) (1,2) (0,3)
+             (4,0) (3,1) (2,2) (1,3) (0,4)
+
+All functions take an array-namespace argument ``xp`` (``jax.numpy`` on
+device, ``numpy`` for the float64 host re-check oracle) and operate on the
+*last* axis, so they vmap/broadcast over arbitrary leading (candidate, point)
+axes.  Everything is static-shape, unrolled Python — XLA fuses it into pure
+VPU element-wise code.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Static tables
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def monomials(order: int) -> Tuple[Tuple[int, int], ...]:
+    """(i, j) exponent pairs with i + j <= order, sorted by total degree."""
+    out = []
+    for deg in range(order + 1):
+        for i in range(deg, -1, -1):
+            out.append((i, deg - i))
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def index_map(order: int) -> dict:
+    return {m: k for k, m in enumerate(monomials(order))}
+
+
+def n_coeffs(order: int) -> int:
+    return (order + 1) * (order + 2) // 2
+
+
+@lru_cache(maxsize=None)
+def mul_table(order: int) -> Tuple[Tuple[Tuple[int, int], ...], ...]:
+    """For each output coefficient k, the list of (p, q) input index pairs
+    whose monomials multiply to monomial k (truncated product)."""
+    monos = monomials(order)
+    imap = index_map(order)
+    table: List[Tuple[Tuple[int, int], ...]] = []
+    for (i, j) in monos:
+        pairs = []
+        for p in range(i + 1):
+            for q in range(j + 1):
+                pairs.append((imap[(p, q)], imap[(i - p, j - q)]))
+        table.append(tuple(pairs))
+    return tuple(table)
+
+
+@lru_cache(maxsize=None)
+def deriv_table(order: int, axis: int) -> Tuple[Tuple[int, float], ...]:
+    """Map an order-R jet to the order-(R-1) jet of its partial derivative
+    along ``axis`` (0 = first variable, 1 = second).
+
+    Returns, for each output index k (order R-1), the pair
+    (source index in the order-R jet, multiplier).
+    """
+    src_map = index_map(order)
+    out = []
+    for (i, j) in monomials(order - 1):
+        if axis == 0:
+            out.append((src_map[(i + 1, j)], float(i + 1)))
+        else:
+            out.append((src_map[(i, j + 1)], float(j + 1)))
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def factorial_scale(order: int) -> np.ndarray:
+    """Multiply a jet by this to turn Taylor coefficients into raw partial
+    derivatives: d^{i+j}u/(dx^i dy^j) = c[i,j] * i! * j!."""
+    return np.array([math.factorial(i) * math.factorial(j)
+                     for (i, j) in monomials(order)], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Jet arithmetic (last-axis = coefficients; xp = numpy or jax.numpy)
+# ---------------------------------------------------------------------------
+
+def jet_mul(a, b, order: int, xp):
+    """Truncated product of two order-R jets (last axis = T(R))."""
+    table = mul_table(order)
+    cols = []
+    for pairs in table:
+        acc = a[..., pairs[0][0]] * b[..., pairs[0][1]]
+        for (p, q) in pairs[1:]:
+            acc = acc + a[..., p] * b[..., q]
+        cols.append(acc)
+    return xp.stack(cols, axis=-1)
+
+
+def jet_deriv(a, order: int, axis: int, xp):
+    """Order-R jet -> order-(R-1) jet of the partial derivative."""
+    table = deriv_table(order, axis)
+    cols = [a[..., src] * mult for (src, mult) in table]
+    return xp.stack(cols, axis=-1)
+
+
+def jet_truncate(a, order_from: int, order_to: int):
+    """Drop coefficients above ``order_to`` (prefix slice by construction)."""
+    assert order_to <= order_from
+    return a[..., : n_coeffs(order_to)]
+
+
+def jet_const(value, order: int, xp, like=None):
+    """Jet of a constant. ``value`` may be an array broadcast over leading
+    axes; ``like`` provides dtype/shape context when value is scalar."""
+    if like is None:
+        like = value
+    zeros = xp.zeros_like(like)
+    head = zeros + value  # broadcast scalar constants to the point axis
+    cols = [head if k == 0 else zeros for k in range(n_coeffs(order))]
+    return xp.stack(cols, axis=-1)
+
+
+def jet_var(value, which: int, order: int, xp):
+    """Jet of the coordinate itself: value + d(coordinate)."""
+    ones = xp.ones_like(value)
+    zeros = xp.zeros_like(value)
+    lin = index_map(order)[(1, 0)] if which == 0 else index_map(order)[(0, 1)]
+    cols = []
+    for k in range(n_coeffs(order)):
+        if k == 0:
+            cols.append(value)
+        elif k == lin:
+            cols.append(ones)
+        else:
+            cols.append(zeros)
+    return xp.stack(cols, axis=-1)
+
+
+def jet_compose(w, fs, order: int, xp):
+    """Compose a univariate function onto a jet.
+
+    ``fs`` is a sequence of R+1 arrays: fs[k] = f^(k)(w0) / k!  evaluated at
+    the jet's constant term.  Computes f(w) truncated to order R via Horner:
+
+        f(w) = fs[0] + w~ * (fs[1] + w~ * (... fs[R]))      w~ = w - w0
+    """
+    T = n_coeffs(order)
+    # w~ : zero the constant term
+    wt = xp.concatenate([xp.zeros_like(w[..., :1]), w[..., 1:]], axis=-1)
+    acc = jet_const(fs[order], order, xp, like=w[..., 0])
+    for k in range(order - 1, -1, -1):
+        acc = jet_mul(acc, wt, order, xp)
+        # add constant fs[k] to coefficient 0
+        acc = xp.concatenate(
+            [acc[..., :1] + fs[k][..., None], acc[..., 1:]], axis=-1)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Derivative-coefficient tables fs[k] = f^(k)(v)/k! for the ISA unary families
+# ---------------------------------------------------------------------------
+
+def _gen_binom(p: Fraction, k: int) -> float:
+    """Generalized binomial coefficient C(p, k) = p(p-1)...(p-k+1)/k!."""
+    num = Fraction(1)
+    for t in range(k):
+        num *= (Fraction(p) - t)
+    return float(num / math.factorial(k))
+
+
+@lru_cache(maxsize=None)
+def pow_binom_table(order: int, exponents: Tuple[Fraction, ...]) -> np.ndarray:
+    """C(p, k) for each exponent p and derivative order k (shape [P, R+1])."""
+    return np.array(
+        [[_gen_binom(p, k) for k in range(order + 1)] for p in exponents],
+        dtype=np.float64,
+    )
+
+
+def pow_fs(v, p: Fraction, order: int, xp):
+    """fs table for v**p, computed from sqrt(v) and 1/v products so that
+    integer exponents stay exact (square of a negative stays finite; NaNs
+    appear only for genuine domain violations like sqrt of a negative)."""
+    coeffs = [_gen_binom(p, k) for k in range(order + 1)]
+    fs = []
+    for k in range(order + 1):
+        c = coeffs[k]
+        e = Fraction(p) - k
+        if c == 0.0:
+            fs.append(xp.zeros_like(v))
+        else:
+            fs.append(c * _v_pow(v, e, xp))
+    return fs
+
+
+def _v_pow(v, e: Fraction, xp):
+    """v**e for half-integer e, built from integer powers and sqrt so the
+    semantics match SymPy (negative base + half-integer exponent -> NaN,
+    negative base + integer exponent -> exact)."""
+    num, den = e.numerator, e.denominator
+    if den == 1:
+        return _int_pow(v, num, xp)
+    assert den == 2
+    s = xp.sqrt(v)
+    return _int_pow(s, num, xp)
+
+
+def _int_pow(v, n: int, xp):
+    if n == 0:
+        return xp.ones_like(v)
+    inv = n < 0
+    n = abs(n)
+    # binary exponentiation, unrolled statically
+    result = None
+    base = v
+    while n:
+        if n & 1:
+            result = base if result is None else result * base
+        n >>= 1
+        if n:
+            base = base * base
+    if inv:
+        return 1.0 / result
+    return result
+
+
+def exp_fs(v, order: int, xp):
+    e = xp.exp(v)
+    return [e * (1.0 / math.factorial(k)) for k in range(order + 1)]
+
+
+def log_fs(v, order: int, xp):
+    fs = [xp.log(v)]
+    r = 1.0 / v
+    rk = r
+    for k in range(1, order + 1):
+        sign = 1.0 if (k % 2 == 1) else -1.0
+        fs.append(sign * rk / k)
+        rk = rk * r
+    return fs
+
+
+def identity_fs(v, order: int, xp):
+    fs = [v, xp.ones_like(v)]
+    for _ in range(2, order + 1):
+        fs.append(xp.zeros_like(v))
+    return fs
