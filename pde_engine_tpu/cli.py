@@ -1,0 +1,147 @@
+"""Command-line interface.
+
+Verb-for-verb parity with the reference's argparse surface
+(general_method_paper_reproduction.py:2387-2460):
+
+  python -m pde_engine_tpu --problem force_free --max-depth 4
+  python -m pde_engine_tpu --print-run-id <id> [--verify-pde] [--find-monopole] [--audit-kerr]
+  python -m pde_engine_tpu --resume-run <id>
+
+``--validators`` is accepted for compatibility; the TPU pipeline has no
+worker processes (its parallelism is the device mesh — ``--devices`` picks
+how many chips to shard the candidate axis over).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pde_engine_tpu",
+        description="TPU-native symbolic PDE-solution discovery engine")
+    p.add_argument("--mode", choices=["parallel", "sequential"],
+                   default="parallel",
+                   help="Kept for reference parity; both modes run the "
+                        "device pipeline (sequential additionally proves "
+                        "exact zeros inline via SymPy).")
+    p.add_argument("--problem", type=str, default="force_free",
+                   help="force_free | kerr_magnetosphere | laplace | "
+                        "grad_shafranov")
+    p.add_argument("--max-depth", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=16384)
+    p.add_argument("--validators", type=int, default=0,
+                   help="(compat) ignored — validation is on-device")
+    p.add_argument("--devices", type=int, default=None,
+                   help="Shard the candidate axis over this many devices")
+    p.add_argument("--no-special-ops", action="store_true",
+                   help="Disable sqrt_shift/exp_mul/log_mul special ops "
+                        "(matches the reference fast path's effective "
+                        "op set)")
+    p.add_argument("--no-prune", action="store_true")
+    p.add_argument("--omega", type=float, default=0.0,
+                   help="Rigid field-line rotation rate (force_free only)")
+    p.add_argument("--confirm-symbolic", action="store_true",
+                   help="Prove exact zeros inline with SymPy (slow; "
+                        "default defers to --verify-pde)")
+    p.add_argument("--heavy-checks", action="store_true",
+                   help="Run regularity/finiteness/anchor checks inline "
+                        "instead of deferring")
+    p.add_argument("--print-run-id", type=str,
+                   help="Print results for an existing run (DB only)")
+    p.add_argument("--db-path", type=str)
+    p.add_argument("--resume-run", type=str,
+                   help="Resume generation/validation for an existing run")
+    p.add_argument("--resume-validators", type=int, default=8,
+                   help="(compat) ignored")
+    p.add_argument("--verify-pde", action="store_true",
+                   help="Symbolically verify residual == 0 for stored rows")
+    p.add_argument("--verify-scope", choices=["novel", "valid", "all"],
+                   default="novel")
+    p.add_argument("--find-monopole", action="store_true")
+    p.add_argument("--monopole-target", choices=["either", "1-x", "x"],
+                   default="either")
+    p.add_argument("--audit-kerr", action="store_true")
+    p.add_argument("--heavy-validate", action="store_true",
+                   help="Run heavy checks over stored rows (post-hoc)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .runtime import DiscoveryRun
+    from .utils.config import SearchConfig
+
+    config = SearchConfig(
+        max_depth=args.max_depth,
+        batch_size=args.batch_size,
+        include_special_ops=not args.no_special_ops,
+        prune=not args.no_prune,
+        confirm_symbolic=(args.confirm_symbolic
+                          or args.mode == "sequential"),
+        defer_heavy_checks=not args.heavy_checks,
+    )
+
+    mesh = None
+    if args.devices:
+        from .parallel.mesh import candidate_mesh
+        mesh = candidate_mesh(args.devices)
+
+    def _problem():
+        if args.omega and args.problem.startswith("force"):
+            from .models.force_free import ForceFreeProblem
+            return ForceFreeProblem(omega=args.omega)
+        return args.problem
+
+    def make_run(run_id=None, resume=False):
+        if resume:
+            return DiscoveryRun.resume(_problem(), args.resume_run,
+                                       config=config, db_path=args.db_path,
+                                       mesh=mesh)
+        return DiscoveryRun(_problem(), config=config, run_id=run_id,
+                            db_path=args.db_path, mesh=mesh)
+
+    if args.print_run_id:
+        # existence check BEFORE constructing the run — RunDB would
+        # otherwise create an empty database at the inferred path
+        from .models import load_problem as _lp
+        from .utils.db import db_path_for
+        _prob = _lp(args.problem)
+        db_path = args.db_path or db_path_for(_prob.get_output_dir(),
+                                              args.print_run_id)
+        if not os.path.exists(db_path):
+            print(f"Database not found: {db_path}")
+            return 1
+        run = DiscoveryRun(args.problem, config=config,
+                           run_id=args.print_run_id, db_path=db_path)
+        run.print_report_from_db()
+        if args.verify_pde:
+            run.verify_pde_from_db(scope=args.verify_scope)
+        if args.find_monopole:
+            run.find_monopole_extensions(scope=args.verify_scope,
+                                         target=args.monopole_target)
+        if args.audit_kerr:
+            run.audit_kerr_candidates(scope=args.verify_scope)
+        if args.heavy_validate:
+            run.heavy_validate_from_db(scope=args.verify_scope)
+        run.close()
+        return 0
+
+    if args.resume_run:
+        run = make_run(resume=True)
+        run.continue_run(max_depth=args.max_depth)
+        run.close()
+        return 0
+
+    run = make_run()
+    run.run(max_depth=args.max_depth)
+    run.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,6 +31,43 @@ from .ops import optable as ot
 from .ops.tape import Tape, apply_binary, apply_unary
 
 
+def wrap_operand(s: str) -> str:
+    """Parenthesize an operand string unless it is atomic or already fully
+    wrapped.  The reference spells sub as "(a - b)" with a bare b
+    (lean_bridge_fixed.py:177), so e.g. sub(X, X**2 + Y**2) prints
+    "(X - X**2 + Y**2)" — a string that re-parses as X - X**2 + Y**2, a
+    DIFFERENT expression.  All our stored strings must round-trip."""
+    if not s:
+        return s
+    if s.isidentifier() or s.replace(".", "").replace("/", "").isdigit():
+        return s
+    if s[0] == "(" and s[-1] == ")":
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    if i == len(s) - 1:
+                        return s  # fully wrapped already
+                    break
+    # op-wrapped spellings like name(...) are atomic too
+    head, _, rest = s.partition("(")
+    if head.isidentifier() and rest.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    if i == len(s) - 1:
+                        return s
+                    break
+    return f"({s})"
+
+
 @dataclass
 class Candidate:
     tape: Tape
@@ -160,7 +197,8 @@ class Enumerator:
                             continue
                         fmt = ot.SURFACE_FORMAT.get(name)
                         if fmt:
-                            s = fmt.format(a=a.expr_str, b=b.expr_str)
+                            s = fmt.format(a=wrap_operand(a.expr_str),
+                                           b=wrap_operand(b.expr_str))
                         else:
                             s = f"{name}({a.expr_str}, {b.expr_str})"
                         yield Candidate(tape=t, depth=depth, expr_str=s,

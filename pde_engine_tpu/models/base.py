@@ -51,6 +51,27 @@ class Problem:
     screen_rtol: float = 3e-3
     confirm_rtol: float = 1e-9
 
+    # key into parallel.search._RESIDUALS (set by constructors; defaults to
+    # the slug). Non-default parameterizations register a fresh key.
+    residual_key: str = ""
+
+    def get_residual_key(self) -> str:
+        if not self.residual_key:
+            self.residual_key = self.slug + self._residual_param_tag()
+        from ..parallel.search import _RESIDUALS, register_residual
+        if self.residual_key not in _RESIDUALS:
+            register_residual(self.residual_key, self.residual_fn)
+        return self.residual_key
+
+    def _residual_param_tag(self) -> str:
+        """Disambiguates kernels for non-default parameterizations."""
+        parts = []
+        if getattr(self, "omega", 0.0):
+            parts.append(f"omega={self.omega}")
+        for n, v in sorted(self.param_values.items()):
+            parts.append(f"{n}={v}")
+        return ("@" + ",".join(parts)) if parts else ""
+
     # ------------------------------------------------------------------
     # SymPy side
     # ------------------------------------------------------------------

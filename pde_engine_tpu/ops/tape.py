@@ -279,6 +279,9 @@ def from_sympy(expr, consts: ConstTable, var_syms,
         if e is sp.nan:
             neg1 = emit(ot.CONST, 0, consts.intern(Fraction(-1)))
             return emit(ot.POW, neg1, ot.POW_SQRT)         # sqrt(-1) -> nan
+        if e is sp.E:                                       # exp_mul(x, 1)
+            one = emit(ot.CONST, 0, consts.intern(Fraction(1)))
+            return emit(ot.EXP, one)
         if e.is_Number:
             if not e.is_Rational:
                 raise ValueError(f"non-rational constant {e}")

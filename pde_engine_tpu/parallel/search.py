@@ -1,0 +1,157 @@
+"""The fused device search kernel: screen + fingerprint in one pass.
+
+One compiled program replaces three of the reference's subsystems:
+
+- validation point checks (force_free validator.py:349-402, kerr
+  validator.py:163-192)  →  jet evaluation + residual over a collocation
+  grid, verdict on the *relative* residual with non-finite ⇒ reject;
+- "Lean" normalization dedup (lean_bridge.py:67-117)  →  numeric
+  fingerprints: order-1 jets (value + gradient) at probe points, quantized
+  and hashed to 2×uint32 on device;
+- constant exclusion (kerr validator.py:230-240, force_free
+  validator.py:309-312)  →  exact-zero gradient detection (constant jets
+  propagate exact floating-point zeros, so this is equality, not tolerance).
+
+Everything is static-shape and branchless; candidates batch along the
+leading axis, which is the axis sharded across the device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interpreter import batched_evaluator
+from ..ops.jets import n_coeffs
+
+
+class ScreenResult(NamedTuple):
+    screen_ok: jnp.ndarray    # bool[N]  — passes relative-residual screen
+    rel_max: jnp.ndarray      # f32[N]   — max relative residual over points
+    nonfinite: jnp.ndarray    # bool[N]  — residual/scale non-finite anywhere
+    is_const: jnp.ndarray     # bool[N]  — gradient exactly zero everywhere
+    fp_a: jnp.ndarray         # uint32[N] — fingerprint hash (mix A)
+    fp_b: jnp.ndarray         # uint32[N] — fingerprint hash (mix B)
+    fp_finite: jnp.ndarray    # bool[N]  — fingerprint values all finite
+    fp_vals: jnp.ndarray      # f32[N, F*3] — raw fingerprint values
+                              # (value + gradient at each probe point; used
+                              # for tolerance-based known-solution matching)
+
+
+_SENTINEL = np.float32(2.9183e7)  # stands in for non-finite fp values
+
+
+def _quantize(v):
+    """f32 -> stable int32 key: 12-bit mantissa + exponent (relative
+    quantization ~2.4e-4, so equal-but-differently-computed expressions
+    collide onto the same key)."""
+    v = jnp.where(jnp.isfinite(v), v, _SENTINEL)
+    m, e = jnp.frexp(v)
+    q = jnp.round(m * 4096.0).astype(jnp.int32)
+    e = jnp.clip(e, -500, 500)
+    return q * 1024 + e
+
+
+def _fold_hash(keys, mult: int, seed: int):
+    """FNV-style fold over the last axis (static unroll)."""
+    h = jnp.full(keys.shape[:-1], seed, dtype=jnp.uint32)
+    for k in range(keys.shape[-1]):
+        h = (h * jnp.uint32(mult)) ^ keys[..., k].astype(jnp.uint32)
+    return h
+
+
+@functools.lru_cache(maxsize=None)
+def make_search_kernel_raw(order: int, max_nodes: int, residual_key: str,
+                           screen_rtol: float, n_screen: int, n_fp: int):
+    """Build the (unjitted) fused kernel for a (problem, bucket) combination.
+
+    ``residual_key`` selects the residual operator from the registry below
+    (kernels are cached per key so jit caches hit across batches).
+    The raw function is what ``shard_map`` wraps for multi-chip runs.
+    """
+    residual_fn = _RESIDUALS[residual_key]
+
+    eval_r = batched_evaluator(order, max_nodes)
+    eval_1 = batched_evaluator(1, max_nodes)
+
+    def kernel(tapes, lengths, consts, spoints, fpoints):
+        # ---- screen: residual over collocation points ----
+        jets = eval_r(tapes, lengths, consts, spoints)        # [N,P,T]
+        res, scale = residual_fn(jets, spoints, jnp)          # [N,P]
+        eps = jnp.asarray(1e-30, res.dtype)
+        rel = jnp.abs(res) / (scale + eps)
+        finite = jnp.isfinite(res) & jnp.isfinite(scale)
+        nonfinite_any = jnp.any(~finite, axis=-1)
+        rel_max = jnp.max(jnp.where(finite, rel, jnp.inf), axis=-1)
+        screen_ok = (~nonfinite_any) & (rel_max < screen_rtol)
+
+        # ---- fingerprint: value + gradient at probe points ----
+        fj = eval_1(tapes, lengths, consts, fpoints)          # [N,F,3]
+        flat = fj.reshape(fj.shape[0], -1)                    # [N,F*3]
+        fp_finite = jnp.all(jnp.isfinite(flat), axis=-1)
+        keys = _quantize(flat)
+        fp_a = _fold_hash(keys, 0x01000193, 0x811C9DC5)
+        fp_b = _fold_hash(keys, 0x85EBCA6B, 0xC2B2AE35)
+
+        # ---- constant detection (exact zero gradient) ----
+        grads = jnp.abs(fj[..., 1:])                           # [N,F,2]
+        grad_max = jnp.max(grads.reshape(fj.shape[0], -1), axis=-1)
+        val_ok = jnp.all(jnp.isfinite(fj[..., 0]), axis=-1)
+        is_const = (grad_max == 0.0) & val_ok
+
+        return ScreenResult(screen_ok, rel_max, nonfinite_any, is_const,
+                            fp_a, fp_b, fp_finite, flat)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def make_search_kernel(order: int, max_nodes: int, residual_key: str,
+                       screen_rtol: float, n_screen: int, n_fp: int):
+    """Jitted fused kernel (see make_search_kernel_raw)."""
+    return jax.jit(make_search_kernel_raw(
+        order, max_nodes, residual_key, screen_rtol, n_screen, n_fp))
+
+
+# Residual registry (string-keyed so kernels are hashable/cacheable).
+def _ff(jets, pts, xp):
+    from ..models.residuals import foliation_residual
+    return foliation_residual(jets, pts, xp, omega=0.0)
+
+
+def _ff_rot(omega):
+    from ..models.residuals import foliation_residual
+    return lambda jets, pts, xp: foliation_residual(jets, pts, xp,
+                                                    omega=omega)
+
+
+def _kerr(jets, pts, xp):
+    from ..models.residuals import kerr_residual
+    return kerr_residual(jets, pts, xp)
+
+
+def _laplace(jets, pts, xp):
+    from ..models.residuals import laplace_residual
+    return laplace_residual(jets, pts, xp)
+
+
+def _gs(jets, pts, xp):
+    from ..models.residuals import grad_shafranov_residual
+    return grad_shafranov_residual(jets, pts, xp)
+
+
+_RESIDUALS = {
+    "force_free": _ff,
+    "force_free_omega1": _ff_rot(1.0),
+    "kerr_magnetosphere": _kerr,
+    "laplace": _laplace,
+    "grad_shafranov": _gs,
+}
+
+
+def register_residual(key: str, fn) -> None:
+    _RESIDUALS[key] = fn

@@ -1,0 +1,338 @@
+"""Run orchestration: discovery runs, persistence, resume, post-hoc audits.
+
+The TPU-native counterpart of the reference's ``GeneralFoliationDiscovery``
+runtime (general_method_paper_reproduction.py:51-2385).  Where the reference
+coordinates a generator process, K validator processes and a DB-writer
+process over queues, this runtime drives the device pipeline depth-by-depth
+in one host process: the depth barrier replaces the queues, the fused device
+kernel replaces the validator pool, and the host remains the single DB
+writer (same single-writer discipline, general:1109-1220).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .models.base import Problem, load_problem
+from .pipeline import DiscoveryEngine, Row
+from .utils.config import SearchConfig
+from .utils.db import RunDB, db_path_for, new_run_id, table_name_for
+from .utils.report import build_report, format_report_text, write_report_files
+
+
+class DiscoveryRun:
+    """A persisted discovery run (create new or attach to existing)."""
+
+    def __init__(self, problem_name,
+                 config: Optional[SearchConfig] = None,
+                 run_id: Optional[str] = None,
+                 db_path: Optional[str] = None,
+                 mesh=None,
+                 verbose: bool = True):
+        self.problem = (problem_name if isinstance(problem_name, Problem)
+                        else load_problem(problem_name))
+        self.config = config or SearchConfig()
+        self.run_id = run_id or new_run_id()
+        out_dir = self.problem.get_output_dir()
+        self.db_path = db_path or db_path_for(out_dir, self.run_id)
+        self.db = RunDB(self.db_path, self.run_id)
+        self.mesh = mesh
+        self.verbose = verbose
+        self.engine = DiscoveryEngine(self.problem, self.config, mesh=mesh)
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def run(self, max_depth: Optional[int] = None,
+            start_depth: int = 1) -> Dict:
+        max_depth = max_depth or self.config.max_depth
+        self.db.start_run(max_depth)
+        t_start = time.time()
+        self._log(f"Run {self.run_id}: {self.problem.name}, "
+                  f"max_depth={max_depth}, db={self.db_path}")
+
+        # Validate known solutions first (reference general:481-499).
+        self._validate_knowns()
+
+        def on_row(row: Row):
+            self.db.add_row(row)
+
+        def on_depth(st):
+            self.db.flush()
+            counts = {
+                "generated": sum(s.candidates for s in self.engine.stats),
+                "unique": self.engine.enumerator.count_uniques(),
+                "valid": len(self.engine.valid_rows),
+            }
+            self.db.update_metadata(counts["generated"], counts["unique"],
+                                    counts["valid"])
+            self.db.save_generator_state({
+                "completed_depth": st.depth,
+                "max_depth": max_depth,
+                "include_special_ops": self.config.include_special_ops,
+                "prune": self.config.prune,
+            })
+            self.db.worker_heartbeat(os.getpid(), "device", counts["unique"])
+            rate = (st.candidates / st.seconds) if st.seconds > 0 else 0
+            self._log(f"  depth {st.depth}: {st.candidates} candidates, "
+                      f"{st.unique} unique, {st.valid} valid "
+                      f"[{st.seconds:.1f}s, {rate:,.0f} cand/s]")
+
+        try:
+            self.engine.run(max_depth, on_row=on_row, on_depth=on_depth,
+                            start_depth=start_depth)
+        except KeyboardInterrupt:
+            self.db.complete_run("aborted")
+            self._log("Aborted; partial results saved "
+                      f"(resume with --resume-run {self.run_id})")
+            raise
+        self.db.flush()
+
+        report = build_report(
+            self.problem, self.engine.rows, self.engine.stats,
+            run_id=self.run_id, max_depth=max_depth,
+            classify_novel=(len(self.engine.valid_rows)
+                            <= self.config.novel_class_limit))
+        report["wall_seconds"] = time.time() - t_start
+        report["device_seconds"] = self.engine.device_seconds
+        report["candidates_screened"] = self.engine.candidates_screened
+        paths = write_report_files(report, self.problem.get_output_dir())
+        self.db.update_metadata(report["total_generated"],
+                                report["total_generated"],
+                                report["total_valid"])
+        self.db.complete_run("completed")
+        self._log(format_report_text(report))
+        self._log(f"Reports: {paths['json']}  {paths['txt']}")
+        return report
+
+    def _validate_knowns(self):
+        """Check each known solution against the full funnel and print the
+        verdicts (the reference's first step, general:481-499)."""
+        self._log("Validating known solutions:")
+        for expr_str, name in self.problem.known_solutions.items():
+            try:
+                ok, rel = self._check_expr(expr_str)
+                mark = "✓" if ok else "✗"
+                self._log(f"  {mark} {name:24s} {expr_str}  "
+                          f"(max relres {rel:.2e})")
+            except Exception as e:
+                self._log(f"  ✗ {name:24s} {expr_str}  (error: {e})")
+
+    def _check_expr(self, expr_str: str):
+        from .ops.interpreter import eval_jets_np
+        t = self.problem.parse(expr_str)
+        jets = eval_jets_np(t.rows, len(t),
+                            self.problem.consts.as_array(np.float64),
+                            self.problem.screen_points,
+                            self.problem.residual_order)
+        res, scale = self.problem.residual_fn(
+            jets, self.problem.screen_points, np)
+        with np.errstate(invalid="ignore"):
+            rel = np.abs(res) / (scale + 1e-300)
+        ok = bool(np.isfinite(res).all()
+                  and rel.max() < self.problem.confirm_rtol)
+        return ok, float(np.nanmax(rel))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def resume(cls, problem_name: str, run_id: str,
+               config: Optional[SearchConfig] = None,
+               db_path: Optional[str] = None, mesh=None,
+               verbose: bool = True) -> "DiscoveryRun":
+        """Rebuild engine state from the run DB and continue at the next
+        depth (reference --resume-run, general:973-1107 — but since our
+        rows are validated inline, resume means resuming *generation*)."""
+        self = cls(problem_name, config, run_id=run_id, db_path=db_path,
+                   mesh=mesh, verbose=verbose)
+        state = self.db.load_generator_state() or {}
+        completed = int(state.get("completed_depth", 0))
+        self.config.include_special_ops = bool(
+            state.get("include_special_ops",
+                      self.config.include_special_ops))
+        # Rebuild uniques + fingerprint map from stored rows.
+        rows = self.db.rows()
+        eng = self.engine
+        from .enumerator import Candidate
+        for r in rows:
+            try:
+                tape = self.problem.parse(r["expression"])
+            except Exception:
+                continue
+            cand = Candidate(
+                tape=tape, depth=int(r["depth"]),
+                expr_str=r["expression"],
+                top_op=_top_op_of(r["expression"]),
+                has_var=tape.uses_var(),
+                is_one=tape.is_const_one(self.problem.consts))
+            u = eng.enumerator.add_unique(cand)
+            sig = r["signature"]
+            if sig and not sig.startswith("tape"):
+                fp = (int(sig[:8], 16), int(sig[8:16], 16))
+            else:
+                fp = ("tape", hash(tape.key()))
+            eng.fp_to_uid[fp] = u.uid
+            row = Row(
+                id=int(r["id"]), expression=r["expression"],
+                normalized=r["normalized"], signature=sig or "",
+                depth=int(r["depth"]),
+                is_valid=bool(r["is_valid"]),
+                validation_reason=r["validation_reason"] or "",
+                validator_method=r["validator_method"] or "",
+                is_paper_solution=bool(r["is_paper_solution"]),
+                paper_solution_name=r["paper_solution_name"])
+            eng.rows.append(row)
+            if row.is_valid:
+                eng.valid_rows.append(row)
+            eng._next_row_id = max(eng._next_row_id, row.id + 1)
+        self._resume_start_depth = completed + 1
+        self._log(f"Resumed {run_id}: {len(rows)} rows, "
+                  f"completed depth {completed}")
+        return self
+
+    def continue_run(self, max_depth: Optional[int] = None) -> Dict:
+        start = getattr(self, "_resume_start_depth", 1)
+        return self.run(max_depth=max_depth, start_depth=start)
+
+    # ------------------------------------------------------------------
+    # Post-hoc audit suite (reference general:2024-2385)
+    # ------------------------------------------------------------------
+
+    def print_report_from_db(self, classify_novel: bool = True) -> Dict:
+        rows = self.db.rows()
+        report = build_report(self.problem, rows, run_id=self.run_id,
+                              max_depth=(self.db.metadata() or {"max_depth": 0}
+                                         )["max_depth"] or 0,
+                              classify_novel=classify_novel)
+        self._log(format_report_text(report))
+        return report
+
+    def verify_pde_from_db(self, scope: str = "novel") -> Dict:
+        """Re-prove residual == 0 symbolically for stored rows
+        (reference --verify-pde, general:2138-2208)."""
+        import sympy as sp
+        rows = self._scoped_rows(scope)
+        confirmed, refuted, skipped = [], [], []
+        for r in rows:
+            try:
+                u = self.problem.tape_to_sympy(
+                    self.problem.parse(r["expression"]))
+                if self.problem.exact_zero_residual(u):
+                    confirmed.append(r["expression"])
+                else:
+                    refuted.append(r["expression"])
+            except Exception:
+                skipped.append(r["expression"])
+        self._log(f"verify-pde [{scope}]: {len(confirmed)} confirmed, "
+                  f"{len(refuted)} refuted, {len(skipped)} skipped")
+        for e in refuted[:20]:
+            self._log(f"  REFUTED: {e}")
+        return {"confirmed": confirmed, "refuted": refuted,
+                "skipped": skipped}
+
+    def heavy_validate_from_db(self, scope: str = "valid") -> Dict:
+        """Run heavy (regularity/finiteness/anchor) checks over stored rows
+        and persist heavy_* columns (reference general:2024-2136)."""
+        rows = self._scoped_rows(scope)
+        passed, failed = 0, 0
+        for r in rows:
+            try:
+                u = self.problem.tape_to_sympy(
+                    self.problem.parse(r["expression"]))
+                ok, reason = self.problem.heavy_checks(u)
+            except Exception as e:
+                ok, reason = False, f"heavy check error: {e}"
+            self.db.update_heavy(int(r["id"]), ok, reason)
+            passed += int(ok)
+            failed += int(not ok)
+        self._log(f"heavy-validate [{scope}]: {passed} passed, "
+                  f"{failed} failed")
+        return {"passed": passed, "failed": failed}
+
+    def find_monopole_extensions(self, scope: str = "valid",
+                                 target: str = "either") -> List[str]:
+        """Kerr: rows whose a->0 limit equals the monopole
+        (reference --find-monopole, general:2210-2279)."""
+        if not hasattr(self.problem, "is_monopole_extension"):
+            self._log("find-monopole: not a Kerr problem")
+            return []
+        old = self.problem.monopole_target
+        self.problem.monopole_target = target
+        hits = []
+        try:
+            for r in self._scoped_rows(scope):
+                try:
+                    u = self.problem.tape_to_sympy(
+                        self.problem.parse(r["expression"]))
+                    if self.problem.is_monopole_extension(u):
+                        hits.append(r["expression"])
+                except Exception:
+                    continue
+        finally:
+            self.problem.monopole_target = old
+        self._log(f"find-monopole [{scope}, target={target}]: "
+                  f"{len(hits)} candidates")
+        for e in hits[:20]:
+            self._log(f"  {e}")
+        return hits
+
+    def audit_kerr_candidates(self, scope: str = "valid") -> Dict:
+        """Tag constants / no-r / no-x dependence / disguised monopoles
+        (reference --audit-kerr, general:2281-2385)."""
+        import sympy as sp
+        r_sym, x_sym = self.problem.sympy_vars()
+        tags: Dict[str, List[str]] = {
+            "constant": [], "no_r_dependence": [], "no_x_dependence": [],
+            "disguised_monopole": [], "other": []}
+        for r in self._scoped_rows(scope):
+            try:
+                u = sp.simplify(self.problem.tape_to_sympy(
+                    self.problem.parse(r["expression"])))
+            except Exception:
+                continue
+            has_r, has_x = u.has(r_sym), u.has(x_sym)
+            if not has_r and not has_x:
+                tags["constant"].append(r["expression"])
+            elif not has_r:
+                try:
+                    if sp.simplify(u - (1 - x_sym)) == 0 or \
+                            sp.simplify(u - x_sym) == 0:
+                        tags["disguised_monopole"].append(r["expression"])
+                    else:
+                        tags["no_r_dependence"].append(r["expression"])
+                except Exception:
+                    tags["no_r_dependence"].append(r["expression"])
+            elif not has_x:
+                tags["no_x_dependence"].append(r["expression"])
+            else:
+                tags["other"].append(r["expression"])
+        for k, v in tags.items():
+            self._log(f"audit-kerr [{scope}] {k}: {len(v)}")
+        return tags
+
+    def _scoped_rows(self, scope: str):
+        if scope == "novel":
+            return self.db.rows("is_valid=1 AND is_paper_solution=0")
+        if scope == "valid":
+            return self.db.rows("is_valid=1")
+        return self.db.rows()
+
+    def close(self):
+        self.db.close()
+
+
+def _top_op_of(expr_str: str) -> str:
+    """Best-effort recovery of the producing surface op from the reference
+    string spelling (only 'inv' matters for prune parity on resume)."""
+    for name in ("inv", "neg", "sqrt", "square", "pow_3_2", "pow_neg_3_2",
+                 "exp_neg", "exp", "log"):
+        if expr_str.startswith(name + "("):
+            return name
+    return ""

@@ -1,0 +1,47 @@
+"""Search/run configuration (analog of the reference's argparse surface +
+validator ctor flags, general_method_paper_reproduction.py:2390-2406 and
+kerr validator.py:30-58)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class SearchConfig:
+    max_depth: int = 4
+    batch_size: int = 16384
+    include_special_ops: bool = True
+    prune: bool = True
+
+    # validation funnel
+    defer_heavy_checks: bool = True     # heavy sympy checks post-hoc
+    # SymPy exact-zero confirm inline.  Default False: the reference's own
+    # parallel fast path accepts on its (single!) point check alone
+    # (force_free validator fast_point_only, validator.py:374-393) and
+    # defers symbolic proof to --verify-pde; our inline screen is already a
+    # 16-point f32+f64 funnel.  Set True for reference sequential-mode
+    # semantics (exact zero proven inline).
+    confirm_symbolic: bool = False
+    sympy_len_limit: int = 4000         # skip symbolic confirm above this
+    # Store constant rows too (the reference drops them pre-DB,
+    # general:262-264; we keep them so a resumed run can rebuild the exact
+    # unique set that feeds deeper enumeration).
+    store_constants: bool = True
+
+    # device batching
+    buckets: Tuple[int, ...] = (16, 32, 64, 128, 256)
+
+    # thresholds (None -> problem defaults)
+    screen_rtol: Optional[float] = None
+    confirm_rtol: Optional[float] = None
+
+    # novel-solution equivalence classing in the final report is SymPy-heavy
+    # (simplify per valid row, reference general:1919-2008); skip it when
+    # more rows are valid than this.
+    novel_class_limit: int = 300
+
+    # sharding: number of devices to use (None -> all visible)
+    n_devices: Optional[int] = None
+    use_mesh: bool = False

@@ -1,0 +1,243 @@
+"""Run database: SQLite audit trail with schema parity to the reference.
+
+Tables, columns, indices, run-id naming and status state machine mirror
+general_method_paper_reproduction.py:644-747 so existing SQL queries from the
+reference's README (README.md:489-504) keep working:
+
+  expressions_<run_id>(id, expression, normalized UNIQUE, signature, depth,
+      validation_status, is_valid, validation_reason, validator_method,
+      validator_math, validator_evidence, is_paper_solution,
+      paper_solution_name, created_at, validated_at,
+      heavy_is_valid, heavy_reason, heavy_validated_at)
+  run_metadata(run_id, table_name, started_at, completed_at, max_depth,
+      total_generated, total_validated, valid_solutions, status)
+  generator_progress(run_id, state_json)
+  worker_progress(run_id, pid, role, validated, errors, ...)
+
+The host process is the single writer (the reference funnelled all UPDATEs
+through one writer process for the same reason, general:1109-1220); WAL mode
+keeps concurrent readers (monitors) cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import time
+import uuid
+from typing import Dict, Iterable, List, Optional, Tuple
+
+
+def new_run_id() -> str:
+    """Reference naming: paper_repro_<ts>_<uuid8> (general:757-760)."""
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    return f"paper_repro_{ts}_{uuid.uuid4().hex[:8]}"
+
+
+def db_path_for(output_dir: str, run_id: str) -> str:
+    return os.path.join(output_dir, f"parallel_runs_{run_id}.db")
+
+
+def table_name_for(run_id: str) -> str:
+    return f"expressions_{run_id.replace('-', '_')}"
+
+
+class RunDB:
+
+    def __init__(self, db_path: str, run_id: str):
+        self.db_path = db_path
+        self.run_id = run_id
+        self.table = table_name_for(run_id)
+        os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
+        self.conn = sqlite3.connect(db_path)
+        self.conn.execute("PRAGMA journal_mode=WAL")
+        self.conn.execute("PRAGMA busy_timeout=5000")
+        self._init_schema()
+        self._pending_rows: List[tuple] = []
+
+    # ------------------------------------------------------------------
+    def _init_schema(self):
+        c = self.conn
+        c.execute(f"""
+            CREATE TABLE IF NOT EXISTS {self.table} (
+                id INTEGER PRIMARY KEY,
+                expression TEXT NOT NULL,
+                normalized TEXT UNIQUE,
+                signature TEXT,
+                depth INTEGER,
+                validation_status TEXT DEFAULT 'pending',
+                is_valid INTEGER,
+                validation_reason TEXT,
+                validator_method TEXT,
+                validator_math TEXT,
+                validator_evidence TEXT,
+                is_paper_solution INTEGER DEFAULT 0,
+                paper_solution_name TEXT,
+                created_at DATETIME DEFAULT CURRENT_TIMESTAMP,
+                validated_at DATETIME,
+                heavy_is_valid INTEGER,
+                heavy_reason TEXT,
+                heavy_validated_at DATETIME
+            )""")
+        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_sig "
+                  f"ON {self.table}(signature)")
+        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_status "
+                  f"ON {self.table}(validation_status)")
+        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_depth "
+                  f"ON {self.table}(depth)")
+        c.execute("""
+            CREATE TABLE IF NOT EXISTS run_metadata (
+                run_id TEXT PRIMARY KEY,
+                table_name TEXT,
+                started_at DATETIME,
+                completed_at DATETIME,
+                max_depth INTEGER,
+                total_generated INTEGER DEFAULT 0,
+                total_validated INTEGER DEFAULT 0,
+                valid_solutions INTEGER DEFAULT 0,
+                status TEXT DEFAULT 'running'
+            )""")
+        c.execute("""
+            CREATE TABLE IF NOT EXISTS generator_progress (
+                run_id TEXT PRIMARY KEY,
+                state_json TEXT,
+                updated_at DATETIME DEFAULT CURRENT_TIMESTAMP
+            )""")
+        c.execute("""
+            CREATE TABLE IF NOT EXISTS worker_progress (
+                run_id TEXT,
+                pid INTEGER,
+                role TEXT,
+                validated INTEGER DEFAULT 0,
+                errors INTEGER DEFAULT 0,
+                current_expr_id INTEGER,
+                current_started_at DATETIME,
+                current_expr_snippet TEXT,
+                last_completed_id INTEGER,
+                last_completed_at DATETIME,
+                PRIMARY KEY (run_id, pid, role)
+            )""")
+        c.commit()
+
+    # ------------------------------------------------------------------
+    def start_run(self, max_depth: int):
+        self.conn.execute(
+            "INSERT OR REPLACE INTO run_metadata "
+            "(run_id, table_name, started_at, max_depth, status) "
+            "VALUES (?, ?, datetime('now'), ?, 'running')",
+            (self.run_id, self.table, max_depth))
+        self.conn.commit()
+
+    def add_row(self, row) -> None:
+        """Buffered insert of a pipeline Row (batched executemany, like the
+        reference's single-writer batching, general:1126-1204)."""
+        self._pending_rows.append((
+            row.id, row.expression, row.normalized, row.signature, row.depth,
+            row.validation_status, int(row.is_valid), row.validation_reason,
+            row.validator_method, None, None,
+            int(row.is_paper_solution), row.paper_solution_name,
+            None if row.heavy_is_valid is None else int(row.heavy_is_valid),
+            row.heavy_reason,
+        ))
+        if len(self._pending_rows) >= 2000:
+            self.flush()
+
+    def flush(self):
+        if not self._pending_rows:
+            return
+        self.conn.executemany(
+            f"INSERT OR IGNORE INTO {self.table} "
+            "(id, expression, normalized, signature, depth, "
+            " validation_status, is_valid, validation_reason, "
+            " validator_method, validator_math, validator_evidence, "
+            " is_paper_solution, paper_solution_name, heavy_is_valid, "
+            " heavy_reason, validated_at) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?, datetime('now'))",
+            self._pending_rows)
+        self._pending_rows = []
+        self.conn.commit()
+
+    def update_metadata(self, total_generated: int, total_validated: int,
+                        valid_solutions: int, status: Optional[str] = None):
+        if status:
+            self.conn.execute(
+                "UPDATE run_metadata SET total_generated=?, "
+                "total_validated=?, valid_solutions=?, status=? "
+                "WHERE run_id=?",
+                (total_generated, total_validated, valid_solutions, status,
+                 self.run_id))
+        else:
+            self.conn.execute(
+                "UPDATE run_metadata SET total_generated=?, "
+                "total_validated=?, valid_solutions=? WHERE run_id=?",
+                (total_generated, total_validated, valid_solutions,
+                 self.run_id))
+        self.conn.commit()
+
+    def complete_run(self, status: str = "completed"):
+        self.flush()
+        self.conn.execute(
+            "UPDATE run_metadata SET completed_at=datetime('now'), status=? "
+            "WHERE run_id=?", (status, self.run_id))
+        self.conn.commit()
+
+    def save_generator_state(self, state: Dict):
+        self.conn.execute(
+            "INSERT OR REPLACE INTO generator_progress "
+            "(run_id, state_json, updated_at) VALUES (?, ?, datetime('now'))",
+            (self.run_id, json.dumps(state)))
+        self.conn.commit()
+
+    def load_generator_state(self) -> Optional[Dict]:
+        cur = self.conn.execute(
+            "SELECT state_json FROM generator_progress WHERE run_id=?",
+            (self.run_id,))
+        r = cur.fetchone()
+        return json.loads(r[0]) if r else None
+
+    def worker_heartbeat(self, pid: int, role: str, validated: int,
+                         errors: int = 0, snippet: str = ""):
+        self.conn.execute(
+            "INSERT OR REPLACE INTO worker_progress "
+            "(run_id, pid, role, validated, errors, current_expr_snippet, "
+            " last_completed_at) VALUES (?,?,?,?,?,?, datetime('now'))",
+            (self.run_id, pid, role, validated, errors, snippet[:120]))
+        self.conn.commit()
+
+    # -- read side ------------------------------------------------------
+    def counts(self) -> Dict[str, int]:
+        cur = self.conn.execute(
+            f"SELECT COUNT(*), SUM(validation_status='completed'), "
+            f"SUM(is_valid) FROM {self.table}")
+        total, validated, valid = cur.fetchone()
+        return {"total": total or 0, "validated": validated or 0,
+                "valid": valid or 0}
+
+    def rows(self, where: str = "", args: tuple = ()) -> List[sqlite3.Row]:
+        self.conn.row_factory = sqlite3.Row
+        cur = self.conn.execute(
+            f"SELECT * FROM {self.table} "
+            + (f"WHERE {where} " if where else "") + "ORDER BY id", args)
+        out = cur.fetchall()
+        self.conn.row_factory = None
+        return out
+
+    def metadata(self) -> Optional[sqlite3.Row]:
+        self.conn.row_factory = sqlite3.Row
+        cur = self.conn.execute(
+            "SELECT * FROM run_metadata WHERE run_id=?", (self.run_id,))
+        out = cur.fetchone()
+        self.conn.row_factory = None
+        return out
+
+    def update_heavy(self, row_id: int, ok: bool, reason: str):
+        self.conn.execute(
+            f"UPDATE {self.table} SET heavy_is_valid=?, heavy_reason=?, "
+            "heavy_validated_at=datetime('now') WHERE id=?",
+            (int(ok), reason, row_id))
+        self.conn.commit()
+
+    def close(self):
+        self.flush()
+        self.conn.close()

@@ -1,0 +1,143 @@
+"""Report generation: JSON + txt + console summary.
+
+Format parity with the reference's ``generate_report`` /
+``_generate_report_from_db`` (general_method_paper_reproduction.py:546-641,
+1826-2021): totals, per-depth counts, known (paper) solutions found, and
+novel-solution equivalence classes with a cost-ranked canonical
+representative.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+
+def _canonical_class_key(expr_str: str, problem) -> str:
+    """Equivalence-class key for novel-solution grouping (reference
+    general:1919-2008: together→cancel→powsimp→powdenest→simplify→srepr)."""
+    import sympy as sp
+    try:
+        u = problem.tape_to_sympy(problem.parse(expr_str))
+        u = sp.together(sp.cancel(u))
+        u = sp.powsimp(u, force=False)
+        u = sp.powdenest(u)
+        u = sp.simplify(u)
+        return sp.srepr(u)
+    except Exception:
+        return f"<unparsed:{expr_str}>"
+
+
+def _expr_cost(expr_str: str) -> tuple:
+    """Cost ranking for choosing a class representative (reference
+    general:1958-1999: count_ops, depth, srepr length, penalties)."""
+    import sympy as sp
+    try:
+        u = sp.sympify(expr_str)
+        penalty = 1000 if u.has(sp.oo, sp.zoo, sp.nan) else 0
+        return (penalty + sp.count_ops(u), len(expr_str))
+    except Exception:
+        return (10_000, len(expr_str))
+
+
+def build_report(problem, rows: List, stats: Optional[List] = None,
+                 run_id: str = "", max_depth: int = 0,
+                 classify_novel: bool = True,
+                 max_novel_classes: int = 200) -> Dict:
+    by_depth = defaultdict(lambda: {"generated": 0, "valid": 0})
+    valid_rows = []
+    paper_found = {}
+    for r in rows:
+        d = r.depth if hasattr(r, "depth") else r["depth"]
+        valid = r.is_valid if hasattr(r, "is_valid") else bool(r["is_valid"])
+        by_depth[d]["generated"] += 1
+        if valid:
+            by_depth[d]["valid"] += 1
+            valid_rows.append(r)
+            name = (r.paper_solution_name if hasattr(r, "paper_solution_name")
+                    else r["paper_solution_name"])
+            if name:
+                expr = (r.expression if hasattr(r, "expression")
+                        else r["expression"])
+                paper_found.setdefault(name, expr)
+
+    # Novel-class grouping (valid, non-paper)
+    novel_classes = []
+    if classify_novel:
+        classes: Dict[str, List[str]] = defaultdict(list)
+        novel = [r for r in valid_rows
+                 if not (r.paper_solution_name if hasattr(r, "paper_solution_name")
+                         else r["paper_solution_name"])]
+        for r in novel[: max_novel_classes * 10]:
+            expr = r.expression if hasattr(r, "expression") else r["expression"]
+            classes[_canonical_class_key(expr, problem)].append(expr)
+        for key, members in classes.items():
+            rep = min(members, key=_expr_cost)
+            novel_classes.append({
+                "representative": rep,
+                "count": len(members),
+            })
+        novel_classes.sort(key=lambda c: _expr_cost(c["representative"]))
+
+    return {
+        "run_id": run_id,
+        "problem": problem.name,
+        "problem_slug": problem.slug,
+        "max_depth": max_depth,
+        "timestamp": time.strftime("%Y%m%d_%H%M%S"),
+        "total_generated": len(rows),
+        "total_valid": len(valid_rows),
+        "by_depth": {str(d): v for d, v in sorted(by_depth.items())},
+        "paper_solutions_found": paper_found,
+        "paper_solutions_expected": dict(problem.known_solutions),
+        "novel_classes": novel_classes,
+        "validator": problem.describe(),
+        "stats": [vars(s) for s in (stats or [])],
+    }
+
+
+def write_report_files(report: Dict, output_dir: str) -> Dict[str, str]:
+    os.makedirs(output_dir, exist_ok=True)
+    ts = report["timestamp"]
+    json_path = os.path.join(output_dir, f"reproduction_{ts}.json")
+    txt_path = os.path.join(output_dir, f"report_{ts}.txt")
+    with open(json_path, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    with open(txt_path, "w") as f:
+        f.write(format_report_text(report))
+    return {"json": json_path, "txt": txt_path}
+
+
+def format_report_text(report: Dict) -> str:
+    lines = []
+    lines.append("=" * 70)
+    lines.append(f"DISCOVERY REPORT — {report['problem']}")
+    lines.append(f"run_id: {report['run_id']}   max_depth: "
+                 f"{report['max_depth']}")
+    lines.append("=" * 70)
+    lines.append(f"Total generated (unique): {report['total_generated']}")
+    lines.append(f"Total valid:              {report['total_valid']}")
+    lines.append("")
+    lines.append("By depth:")
+    for d, v in report["by_depth"].items():
+        lines.append(f"  depth {d}: {v['generated']:8d} generated, "
+                     f"{v['valid']:6d} valid")
+    lines.append("")
+    expected = report["paper_solutions_expected"]
+    found = report["paper_solutions_found"]
+    lines.append(f"Known (paper) solutions found: {len(found)}/{len(expected)}")
+    for name in expected.values():
+        mark = "FOUND" if name in found else "  -  "
+        via = f"  via {found[name]}" if name in found else ""
+        lines.append(f"  [{mark}] {name}{via}")
+    lines.append("")
+    if report.get("novel_classes"):
+        lines.append(f"Novel solution classes: {len(report['novel_classes'])}")
+        for c in report["novel_classes"][:25]:
+            lines.append(f"  ({c['count']:4d}x) {c['representative']}")
+    lines.append("")
+    lines.append(f"Validator: {report['validator'].get('math_definition')}")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,137 @@
+"""End-to-end discovery pipeline tests (CPU, small depths).
+
+The minimum slice (SURVEY.md §7 stage 4): depth-2 force_free must behave
+like the reference — rho**2 valid and tagged as the Vertical field paper
+solution, garbage rejected for non-finiteness (not accepted as zero),
+constants excluded.
+"""
+
+import numpy as np
+import pytest
+
+from pde_engine_tpu.models import load_problem
+from pde_engine_tpu.pipeline import DiscoveryEngine
+from pde_engine_tpu.utils.config import SearchConfig
+
+
+@pytest.fixture(scope="module")
+def ff_depth2():
+    p = load_problem("force_free")
+    eng = DiscoveryEngine(p, SearchConfig(max_depth=2))
+    eng.run(2)
+    return eng
+
+
+def test_depth2_finds_vertical_field(ff_depth2):
+    names = {r.paper_solution_name for r in ff_depth2.valid_rows
+             if r.paper_solution_name}
+    assert "Vertical field" in names
+
+
+def test_depth2_counts_sane(ff_depth2):
+    # Reference depth-2: ~128 candidates with the 5-op fast path; ours adds
+    # the special binary ops (the full all_binary_ops surface) -> more.
+    s = {st.depth: st for st in ff_depth2.stats}
+    assert s[1].candidates == 5          # the 5 primitives
+    assert 100 <= s[2].candidates <= 250
+    assert s[2].unique <= s[2].candidates
+    assert 0 < s[2].valid < s[2].unique
+
+
+def test_dedup_catches_equivalent_forms(ff_depth2):
+    """sqrt(rho**2 + z**2) vs pow-composed equivalents etc. — unique count
+    strictly below candidate count proves value-level dedup works (the
+    reference's normalizer failed to do this for op-wrapped strings)."""
+    s = {st.depth: st for st in ff_depth2.stats}
+    assert s[2].unique < s[2].candidates
+
+
+def test_constants_and_garbage_rejected(ff_depth2):
+    for r in ff_depth2.rows:
+        if "constant" in r.validation_reason.lower():
+            assert not r.is_valid
+        if "non-finite" in r.validation_reason.lower():
+            assert not r.is_valid
+    # the '1' primitive must not be valid
+    ones = [r for r in ff_depth2.rows if r.expression == "1"]
+    assert all(not r.is_valid for r in ones)
+
+
+def test_rows_have_reference_schema_fields(ff_depth2):
+    r = ff_depth2.rows[0]
+    for field in ("expression", "normalized", "signature", "depth",
+                  "validation_status", "is_valid", "validation_reason",
+                  "validator_method"):
+        assert hasattr(r, field)
+
+
+def test_no_false_positive_from_degenerate_denominators(ff_depth2):
+    """The reference's mega-run accepted 4,443 `1/(1-1)` rows as valid
+    (SURVEY.md §4).  None of our valid rows may be built on a non-finite
+    evaluation."""
+    from pde_engine_tpu.ops.interpreter import eval_jets_np
+    p = ff_depth2.problem
+    for r in ff_depth2.valid_rows:
+        t = p.parse(r.expression)
+        jets = eval_jets_np(t.rows, len(t), p.consts.as_array(),
+                            p.screen_points, p.residual_order)
+        assert np.isfinite(jets[..., 0]).all(), r.expression
+
+
+def test_expression_strings_roundtrip(ff_depth2):
+    """Every stored expression string must re-parse to the same function
+    (value-equivalence at probe points).  The reference's sub spelling
+    "(a - b)" was NOT round-trippable — e.g. "(X - X**2 + Y**2)" re-parses
+    as a different expression — which poisons resume/audit reparse."""
+    from pde_engine_tpu.ops.interpreter import eval_jets_np
+    p = ff_depth2.problem
+    pts = p.fingerprint_points
+    uniques = [u for us in ff_depth2.enumerator.uniques_by_depth.values()
+               for u in us]
+    for u in uniques:
+        t2 = p.parse(u.expr_str)
+        a = eval_jets_np(u.tape.rows, len(u.tape), p.consts.as_array(),
+                         pts, 1)
+        b = eval_jets_np(t2.rows, len(t2), p.consts.as_array(), pts, 1)
+        mask = np.isfinite(a) & np.isfinite(b)
+        assert (np.isfinite(a) == np.isfinite(b)).all(), u.expr_str
+        np.testing.assert_allclose(a[mask], b[mask], rtol=1e-9, atol=1e-12,
+                                   err_msg=u.expr_str)
+
+
+def test_laplace_depth2_e2e():
+    p = load_problem("laplace")
+    eng = DiscoveryEngine(p, SearchConfig(max_depth=2))
+    eng.run(2)
+    names = {r.paper_solution_name for r in eng.valid_rows
+             if r.paper_solution_name}
+    # X*Y and X are depth <= 2 (X*Y = mul of two primitives)
+    assert "Saddle (Im z^2)" in names
+    assert "Uniform X" in names
+
+
+def test_symbolic_confirm_mode():
+    """Sequential-mode semantics: exact zeros proven inline."""
+    p = load_problem("laplace")
+    eng = DiscoveryEngine(p, SearchConfig(max_depth=1,
+                                          confirm_symbolic=True))
+    eng.run(1)
+    for r in eng.valid_rows:
+        assert "exact zero" in r.validation_reason, r
+
+
+def test_mesh_sharded_run_matches_unsharded():
+    """Candidate-axis sharding over the 8 virtual CPU devices must not
+    change any verdict (SPMD correctness)."""
+    from pde_engine_tpu.parallel.mesh import candidate_mesh
+    p1 = load_problem("grad_shafranov")
+    e1 = DiscoveryEngine(p1, SearchConfig(max_depth=2))
+    e1.run(2)
+    p2 = load_problem("grad_shafranov")
+    e2 = DiscoveryEngine(p2, SearchConfig(max_depth=2),
+                         mesh=candidate_mesh(8))
+    e2.run(2)
+    v1 = sorted(r.expression for r in e1.valid_rows)
+    v2 = sorted(r.expression for r in e2.valid_rows)
+    assert v1 == v2
+    assert [s.unique for s in e1.stats] == [s.unique for s in e2.stats]
