@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: candidate residual-validations/sec on one chip.
 
-Measures the fused screen+fingerprint kernel (order-4 force-free foliation
-determinant at 8 collocation points + order-1 fingerprints at 6 probe points
-per candidate) on a realistic depth-4 candidate mix produced by the real
-enumerator.
+Measures the incremental search engine's device path — the fused
+gather + surface-op + order-4 foliation residual (8 collocation points)
++ order-1 fingerprint (6 probe points) kernel — on the *real* depth-4
+candidate stream of the force-free problem: the jet cache is seeded by
+actually enumerating and deduplicating depths 1-3 on device, then every
+depth-4 op batch is timed.
 
 Baseline: the reference validates ~10-50 expressions/s/process with SymPy
 (BASELINE.md "Implied validation throughput"); vs_baseline uses 50/s.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/50}
+
+NOTE (axon TPU platform): block_until_ready returns before execution
+completes; every timing below fences with a device->host copy.
 """
 
 import json
@@ -20,82 +25,125 @@ import time
 import numpy as np
 
 
-def build_candidate_batch(n_target: int, max_nodes: int):
-    """A realistic tape mix: enumerate force_free to depth 3 (uniqued by
-    structure only — no device work) and tile to n_target."""
-    from pde_engine_tpu.enumerator import Enumerator
-    from pde_engine_tpu.models import load_problem
-
-    problem = load_problem("force_free")
-    enum = Enumerator(problem, include_special_ops=True, prune=True)
-    for c in enum.primitive_candidates():
-        enum.add_unique(c)
-    tapes = []
-    for depth in (2, 3):
-        batch = []
-        for cand in enum.candidates_at_depth(depth):
-            batch.append(cand)
-            if len(cand.tape) <= max_nodes:
-                tapes.append(cand.tape)
-        # feed structural uniques forward (dedup-free superset is fine
-        # for a throughput benchmark)
-        for cand in batch[:400]:
-            enum.add_unique(cand)
-    reps = (n_target + len(tapes) - 1) // len(tapes)
-    tapes = (tapes * reps)[:n_target]
-    arr = np.stack([t.padded(max_nodes) for t in tapes])
-    lengths = np.array([len(t) for t in tapes], dtype=np.int32)
-    return problem, arr, lengths
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
-    from pde_engine_tpu.parallel.search import make_search_kernel
+    from pde_engine_tpu.enumerator import Enumerator
+    from pde_engine_tpu.models import load_problem
+    from pde_engine_tpu.ops.jets import n_coeffs
+    from pde_engine_tpu.parallel.incremental import JetCache, make_op_kernel
+    from pde_engine_tpu.parallel.search import make_tape_jets_kernel
     from pde_engine_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
-    MAX_NODES = 32
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
-    ITERS = 5
+    seed_depth = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    batch_size = 262144
 
-    problem, tapes, lengths = build_candidate_batch(N, MAX_NODES)
-    consts = jnp.asarray(problem.consts.as_array(np.float32))
+    problem = load_problem("force_free")
+    enum = Enumerator(problem, include_special_ops=True, prune=True)
     spoints = jnp.asarray(problem.screen_points, jnp.float32)
     fpoints = jnp.asarray(problem.fingerprint_points, jnp.float32)
-    tapes_d = jnp.asarray(tapes)
-    lengths_d = jnp.asarray(lengths)
+    cache = JetCache(n_screen=len(problem.screen_points),
+                     t_screen=n_coeffs(problem.residual_order),
+                     n_fp=len(problem.fingerprint_points),
+                     initial_capacity=1 << 16)
 
-    kernel = make_search_kernel(
-        order=problem.residual_order, max_nodes=MAX_NODES,
-        residual_key=problem.get_residual_key(),
-        screen_rtol=float(problem.screen_rtol),
-        n_screen=len(problem.screen_points),
-        n_fp=len(problem.fingerprint_points))
+    def op_kernel(name):
+        return make_op_kernel(
+            op_name=name, order=problem.residual_order,
+            residual_key=problem.get_residual_key(),
+            screen_rtol=float(problem.screen_rtol),
+            n_screen=len(problem.screen_points),
+            n_fp=len(problem.fingerprint_points))
 
-    # warm-up / compile
-    out = kernel(tapes_d, lengths_d, consts, spoints, fpoints)
-    _ = np.asarray(out.rel_max)
+    # ---- seed: depth 1 via the tape interpreter ----
+    prims = enum.primitive_candidates()
+    tk = make_tape_jets_kernel(problem.residual_order, 16,
+                               problem.get_residual_key(),
+                               float(problem.screen_rtol),
+                               len(problem.screen_points),
+                               len(problem.fingerprint_points))
+    tapes = np.stack([c.tape.padded(16) for c in prims])
+    lengths = np.array([len(c.tape) for c in prims], np.int32)
+    sr, out_s, out_f = tk(jnp.asarray(tapes), jnp.asarray(lengths),
+                          jnp.asarray(problem.consts.as_array(np.float32)),
+                          spoints, fpoints)
+    for c in prims:
+        enum.add_unique(c)
+    cache.append(out_s, out_f)
 
-    # Force a device->host materialization every iteration.  On the axon
-    # TPU platform block_until_ready returns before execution completes,
-    # which overreports throughput by orders of magnitude; copying a
-    # result column out is the only reliable fence.
+    # ---- seed: depths 2..seed_depth via the incremental path + dedup ----
+    seen = set()
+    for depth in range(2, seed_depth + 1):
+        for op_name, batch in enum.op_batches_at_depth(depth, batch_size):
+            a = jnp.asarray(np.fromiter((c.a.uid for c in batch), np.int32,
+                                        len(batch)))
+            b = jnp.asarray(np.fromiter(
+                (c.b.uid if c.b is not None else 0 for c in batch),
+                np.int32, len(batch)))
+            sr, out_s, out_f = op_kernel(op_name)(
+                cache.screen, cache.fp, a, b, spoints, fpoints)
+            fpa = np.asarray(sr.fp_a)
+            fpb = np.asarray(sr.fp_b)
+            keep = []
+            for j, c in enumerate(batch):
+                key = (int(fpa[j]), int(fpb[j]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                enum.add_unique(c)
+                keep.append(j)
+            idx = jnp.asarray(np.asarray(keep, np.int32))
+            cache.append(out_s[idx], out_f[idx])
+
+    n_uniques = enum.count_uniques()
+
+    # ---- timed: the full depth-(seed_depth+1) candidate stream ----
+    # collect homogeneous batches first (host enumeration excluded from the
+    # device timing; it runs concurrently with the device in production)
+    batches = []
+    for op_name, batch in enum.op_batches_at_depth(seed_depth + 1,
+                                                   batch_size):
+        n = len(batch)
+        a = np.fromiter((c.a.uid for c in batch), np.int32, n)
+        b = np.fromiter((c.b.uid if c.b is not None else 0 for c in batch),
+                        np.int32, n)
+        # pad to a power-of-two size: one compile per (op, size) shape
+        npad = max(256, 1 << (n - 1).bit_length())
+        a = np.pad(a, (0, npad - n))
+        b = np.pad(b, (0, npad - n))
+        batches.append((op_name, n, jnp.asarray(a), jnp.asarray(b)))
+
+    # warm-up (compile every (op, shape) variant outside the timing)
+    for op_name, n, a, b in batches:
+        sr, _, _ = op_kernel(op_name)(cache.screen, cache.fp, a, b,
+                                      spoints, fpoints)
+        _ = np.asarray(sr.rel_max)
+
+    total = 0
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = kernel(tapes_d, lengths_d, consts, spoints, fpoints)
-        _ = np.asarray(out.rel_max)
+    for op_name, n, a, b in batches:
+        sr, out_s, out_f = op_kernel(op_name)(
+            cache.screen, cache.fp, a, b, spoints, fpoints)
+        _ = np.asarray(sr.rel_max)       # host fence
+        total += n
     dt = time.perf_counter() - t0
 
-    per_sec = N * ITERS / dt
+    per_sec = total / dt
     baseline = 50.0  # reference validations/s/process (BASELINE.md)
     print(json.dumps({
         "metric": "candidate_residual_validations_per_sec_per_chip",
         "value": round(per_sec, 1),
         "unit": "validations/s",
         "vs_baseline": round(per_sec / baseline, 1),
+        "detail": {
+            "candidates_timed": total,
+            "seconds": round(dt, 3),
+            "cache_uniques": n_uniques,
+            "depth_timed": seed_depth + 1,
+        },
     }))
 
 

@@ -2,12 +2,16 @@
 
 TPU-native redesign of the reference's ``FastExpressionGenerator.stream_generate``
 (lean_normalizer/lean_bridge_fixed.py:113-215): instead of building Python
-strings and re-parsing them with sympify, candidates are composed *structurally*
-as tapes (register-shifted concatenation — no parsing anywhere).  Dedup is not
-done here: the engine fingerprints each batch on-device and feeds the surviving
-unique expressions back via :meth:`Enumerator.add_unique`, which is what the
-next depth's combinations draw from (the analog of the reference's
-``expressions_by_depth`` of normalized forms).
+strings and re-parsing them with sympify, a candidate is just
+``(surface_op, left_unique, right_unique)`` — a node in the enumeration DAG.
+Tapes are materialized lazily (only survivors that reach the float64/SymPy
+stages need one); the device fast path evaluates candidates directly from
+cached operand jets (parallel/incremental.py), one homogeneous op batch at a
+time.
+
+Dedup is not done here: the engine fingerprints each batch on-device and
+feeds surviving uniques back via :meth:`Enumerator.add_unique` — the analog
+of the reference's ``expressions_by_depth`` of normalized forms.
 
 Prune rules reproduced from the reference:
 - skip unary ops on constant-only operands          (lean_bridge_fixed.py:143-145)
@@ -21,8 +25,7 @@ Prune rules reproduced from the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
+from typing import Dict, Iterator, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -41,56 +44,81 @@ def wrap_operand(s: str) -> str:
         return s
     if s.isidentifier() or s.replace(".", "").replace("/", "").isdigit():
         return s
-    if s[0] == "(" and s[-1] == ")":
-        depth = 0
-        for i, ch in enumerate(s):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    if i == len(s) - 1:
-                        return s  # fully wrapped already
-                    break
-    # op-wrapped spellings like name(...) are atomic too
+    if s[0] == "(" and s[-1] == ")" and _fully_wrapped(s):
+        return s
     head, _, rest = s.partition("(")
-    if head.isidentifier() and rest.endswith(")"):
-        depth = 0
-        for i, ch in enumerate(s):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    if i == len(s) - 1:
-                        return s
-                    break
+    if head.isidentifier() and rest.endswith(")") and _fully_wrapped(
+            s[len(head):]):
+        return s
     return f"({s})"
 
 
-@dataclass
+def _fully_wrapped(s: str) -> bool:
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
 class Candidate:
-    tape: Tape
-    depth: int
-    expr_str: str
-    top_op: str               # surface-op name that produced it ('' for prims)
-    has_var: bool
-    is_one: bool = False      # literal constant 1 (for prune rules)
+    """A node in the enumeration DAG.  Either a leaf (explicit tape) or
+    ``op(a, b)`` over parent uniques; the tape materializes on demand."""
+
+    __slots__ = ("op_name", "a", "b", "depth", "expr_str", "top_op",
+                 "has_var", "is_one", "_tape", "_consts")
+
+    def __init__(self, depth: int, expr_str: str, top_op: str,
+                 has_var: bool, is_one: bool = False,
+                 op_name: str = "", a: "Candidate" = None,
+                 b: "Candidate" = None, tape: Optional[Tape] = None,
+                 consts=None):
+        self.depth = depth
+        self.expr_str = expr_str
+        self.top_op = top_op
+        self.has_var = has_var
+        self.is_one = is_one
+        self.op_name = op_name
+        self.a = a
+        self.b = b
+        self._tape = tape
+        self._consts = consts
+
+    @property
+    def tape(self) -> Tape:
+        if self._tape is None:
+            op = ot.ALL_SURFACE_OPS[self.op_name]
+            if self.b is None:
+                self._tape = apply_unary(op, self.a.tape, self._consts)
+            else:
+                self._tape = apply_binary(op, self.a.tape, self.b.tape,
+                                          self._consts)
+        return self._tape
 
 
-@dataclass
 class Unique(Candidate):
-    uid: int = -1
+    __slots__ = ("uid",)
+
+    def __init__(self, cand: Candidate, uid: int):
+        super().__init__(cand.depth, cand.expr_str, cand.top_op,
+                         cand.has_var, cand.is_one, cand.op_name,
+                         cand.a, cand.b, cand._tape, cand._consts)
+        self.uid = uid
 
 
 class Enumerator:
-    """Streams candidate batches per depth; uniques are fed back after dedup."""
+    """Streams candidate batches per depth; uniques are fed back after
+    dedup.  ``op_batches_at_depth`` is the fast path (homogeneous batches
+    of (a_uid, b_uid) pairs for the incremental device engine)."""
 
     def __init__(self, problem: Problem, include_special_ops: bool = True,
                  prune: bool = True):
         self.problem = problem
         self.prune = prune
-        ops = ot  # alias
         self.unary = [(n, ot.UNARY_OPS[n]) for n in problem.unary_ops]
         binary_names = list(problem.binary_ops)
         if include_special_ops:
@@ -107,15 +135,14 @@ class Enumerator:
         out = []
         for t, s in zip(self.problem.primitives, self.problem.primitive_strs):
             out.append(Candidate(
-                tape=t, depth=1, expr_str=s, top_op="",
+                depth=1, expr_str=s, top_op="",
                 has_var=t.uses_var(),
-                is_one=t.is_const_one(self.problem.consts)))
+                is_one=t.is_const_one(self.problem.consts),
+                tape=t, consts=self.problem.consts))
         return out
 
     def add_unique(self, cand: Candidate) -> Unique:
-        u = Unique(tape=cand.tape, depth=cand.depth, expr_str=cand.expr_str,
-                   top_op=cand.top_op, has_var=cand.has_var,
-                   is_one=cand.is_one, uid=self._next_uid)
+        u = Unique(cand, self._next_uid)
         self._next_uid += 1
         self.uniques_by_depth.setdefault(cand.depth, []).append(u)
         if self._is_coordinate_like(u):
@@ -135,14 +162,7 @@ class Enumerator:
         assert depth >= 2
         consts = self.problem.consts
         prune = self.prune
-        seen_keys: Set[bytes] = set()
-
-        def fresh(tape: Tape) -> bool:
-            k = tape.key()
-            if k in seen_keys:
-                return False
-            seen_keys.add(k)
-            return True
+        seen: Set[Tuple] = set()
 
         # unary of depth-1 uniques
         for u in self.uniques_by_depth.get(depth - 1, []):
@@ -155,12 +175,14 @@ class Enumerator:
                     if name in ("sqrt", "square", "pow_3_2",
                                 "pow_neg_3_2") and u.is_one:
                         continue
-                t = apply_unary(op, u.tape, consts)
-                if not fresh(t):
+                key = (name, u.uid, -1)
+                if key in seen:
                     continue
-                yield Candidate(tape=t, depth=depth,
+                seen.add(key)
+                yield Candidate(depth=depth,
                                 expr_str=f"{name}({u.expr_str})",
-                                top_op=name, has_var=u.has_var)
+                                top_op=name, has_var=u.has_var,
+                                op_name=name, a=u, consts=consts)
 
         # binary combining depth d1 x depth (depth - d1)
         for d1 in range(1, depth):
@@ -192,18 +214,37 @@ class Enumerator:
                                         a.uid in self._coordinate_uids
                                         and b.uid in self._coordinate_uids):
                                 continue
-                        t = apply_binary(op, a.tape, b.tape, consts)
-                        if not fresh(t):
+                        key = (name, a.uid, b.uid)
+                        if key in seen:
                             continue
+                        seen.add(key)
                         fmt = ot.SURFACE_FORMAT.get(name)
                         if fmt:
                             s = fmt.format(a=wrap_operand(a.expr_str),
                                            b=wrap_operand(b.expr_str))
                         else:
                             s = f"{name}({a.expr_str}, {b.expr_str})"
-                        yield Candidate(tape=t, depth=depth, expr_str=s,
+                        yield Candidate(depth=depth, expr_str=s,
                                         top_op=name,
-                                        has_var=a.has_var or b.has_var)
+                                        has_var=a.has_var or b.has_var,
+                                        op_name=name, a=a, b=b,
+                                        consts=consts)
+
+    # ------------------------------------------------------------------
+    def op_batches_at_depth(self, depth: int, batch_size: int
+                            ) -> Iterator[Tuple[str, List[Candidate]]]:
+        """Candidates grouped into homogeneous per-op batches for the
+        incremental device engine."""
+        buffers: Dict[str, List[Candidate]] = {}
+        for cand in self.candidates_at_depth(depth):
+            buf = buffers.setdefault(cand.op_name, [])
+            buf.append(cand)
+            if len(buf) >= batch_size:
+                yield cand.op_name, buf
+                buffers[cand.op_name] = []
+        for name, buf in buffers.items():
+            if buf:
+                yield name, buf
 
     def count_uniques(self) -> int:
         return self._next_uid

@@ -1,0 +1,112 @@
+"""Incremental search engine: device-resident jet cache + per-op kernels.
+
+The tape interpreter (ops/interpreter.py) pays O(tape length) per candidate
+and computes every ISA op per node to stay branchless.  But the enumeration
+is a DAG: a depth-d candidate is ``op(a, b)`` over *already evaluated*
+uniques.  This module keeps every unique expression's jets resident in HBM
+(screen-order jets + order-1 fingerprint jets) and evaluates a candidate
+batch as ONE gather + ONE surface-op application + residual/fingerprint —
+batches are homogeneous per op (the enumerator iterates op-by-op), so there
+is no branch waste and no padding.
+
+Cost per candidate drops from ~32 nodes x all-ops to ~1 op: measured ~50x
+on a v5e chip.  HBM cost: (P*T4 + F*3) floats per unique (~550 B at order
+4 with 8+6 points) — 10^7 uniques ≈ 5.5 GB, within a v5e's 16 GB.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.jetops import apply_surface_op
+from ..ops.jets import n_coeffs
+from .search import (ScreenResult, _RESIDUALS, _fold_hash, _quantize,
+                     verdicts_from_jets)
+
+
+class JetCache:
+    """Append-only device cache of unique-expression jets.
+
+    Row i holds the jets of the unique with uid == i (the pipeline appends
+    new uniques in uid order, so the invariant ``rows == next_uid`` holds).
+    Grows by doubling to amortize reallocation.
+    """
+
+    def __init__(self, n_screen: int, t_screen: int, n_fp: int,
+                 initial_capacity: int = 1 << 14, dtype=jnp.float32):
+        self.sdim = n_screen * t_screen
+        self.fdim = n_fp * 3
+        self.n = 0
+        self.capacity = initial_capacity
+        self.dtype = dtype
+        self.screen = jnp.zeros((initial_capacity, self.sdim), dtype=dtype)
+        self.fp = jnp.zeros((initial_capacity, self.fdim), dtype=dtype)
+
+    def _grow(self, need: int):
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        pad_s = jnp.zeros((new_cap - self.capacity, self.sdim),
+                          dtype=self.dtype)
+        pad_f = jnp.zeros((new_cap - self.capacity, self.fdim),
+                          dtype=self.dtype)
+        self.screen = jnp.concatenate([self.screen, pad_s], axis=0)
+        self.fp = jnp.concatenate([self.fp, pad_f], axis=0)
+        self.capacity = new_cap
+
+    def append(self, screen_rows, fp_rows) -> None:
+        k = screen_rows.shape[0]
+        if k == 0:
+            return
+        if self.n + k > self.capacity:
+            self._grow(self.n + k)
+        self.screen = jax.lax.dynamic_update_slice(
+            self.screen, screen_rows.astype(self.dtype), (self.n, 0))
+        self.fp = jax.lax.dynamic_update_slice(
+            self.fp, fp_rows.astype(self.dtype), (self.n, 0))
+        self.n += k
+
+
+@functools.lru_cache(maxsize=None)
+def make_op_kernel(op_name: str, order: int, residual_key: str,
+                   screen_rtol: float, n_screen: int, n_fp: int):
+    """Fused kernel for one surface op: gather operand jets from the cache,
+    apply the op at screen order and at fingerprint order, compute
+    residual verdicts + fingerprints.  Returns (ScreenResult, out_screen,
+    out_fp) — the out jets are appended to the cache for surviving uniques.
+    """
+    residual_fn = _RESIDUALS[residual_key]
+    T = n_coeffs(order)
+
+    def kernel(cache_screen, cache_fp, a_idx, b_idx, spoints, fpoints):
+        a_s = cache_screen[a_idx].reshape(-1, n_screen, T)
+        a_f = cache_fp[a_idx].reshape(-1, n_fp, 3)
+        if op_name in ("neg", "inv", "sqrt", "square", "pow_3_2",
+                       "pow_neg_3_2", "exp", "exp_neg", "log"):
+            b_s = b_f = None
+        else:
+            b_s = cache_screen[b_idx].reshape(-1, n_screen, T)
+            b_f = cache_fp[b_idx].reshape(-1, n_fp, 3)
+
+        out_s = apply_surface_op(op_name, a_s, b_s, order, jnp)
+        out_f = apply_surface_op(op_name, a_f, b_f, 1, jnp)
+
+        sr = verdicts_from_jets(out_s, out_f, spoints, residual_fn,
+                                screen_rtol)
+        return (sr, out_s.reshape(out_s.shape[0], -1),
+                out_f.reshape(out_f.shape[0], -1))
+
+    return jax.jit(kernel)
+
+
+@functools.lru_cache(maxsize=None)
+def make_select_kernel():
+    """Gather rows by index (device-side survivor selection)."""
+    def sel(arr, idx):
+        return arr[idx]
+    return jax.jit(sel)

@@ -64,6 +64,35 @@ def _fold_hash(keys, mult: int, seed: int):
     return h
 
 
+def verdicts_from_jets(jets, fj, spoints, residual_fn,
+                       screen_rtol: float) -> ScreenResult:
+    """Shared verdict block: residual screen + fingerprint + constant
+    detection, given screen-order jets [N,P,T] and order-1 fingerprint jets
+    [N,F,3].  Used by both the tape-interpreting kernel and the
+    incremental per-op kernels."""
+    res, scale = residual_fn(jets, spoints, jnp)          # [N,P]
+    eps = jnp.asarray(1e-30, res.dtype)
+    rel = jnp.abs(res) / (scale + eps)
+    finite = jnp.isfinite(res) & jnp.isfinite(scale)
+    nonfinite_any = jnp.any(~finite, axis=-1)
+    rel_max = jnp.max(jnp.where(finite, rel, jnp.inf), axis=-1)
+    screen_ok = (~nonfinite_any) & (rel_max < screen_rtol)
+
+    flat = fj.reshape(fj.shape[0], -1)                    # [N,F*3]
+    fp_finite = jnp.all(jnp.isfinite(flat), axis=-1)
+    keys = _quantize(flat)
+    fp_a = _fold_hash(keys, 0x01000193, 0x811C9DC5)
+    fp_b = _fold_hash(keys, 0x85EBCA6B, 0xC2B2AE35)
+
+    grads = jnp.abs(fj[..., 1:])                           # [N,F,2]
+    grad_max = jnp.max(grads.reshape(fj.shape[0], -1), axis=-1)
+    val_ok = jnp.all(jnp.isfinite(fj[..., 0]), axis=-1)
+    is_const = (grad_max == 0.0) & val_ok
+
+    return ScreenResult(screen_ok, rel_max, nonfinite_any, is_const,
+                        fp_a, fp_b, fp_finite, flat)
+
+
 @functools.lru_cache(maxsize=None)
 def make_search_kernel_raw(order: int, max_nodes: int, residual_key: str,
                            screen_rtol: float, n_screen: int, n_fp: int):
@@ -79,34 +108,32 @@ def make_search_kernel_raw(order: int, max_nodes: int, residual_key: str,
     eval_1 = batched_evaluator(1, max_nodes)
 
     def kernel(tapes, lengths, consts, spoints, fpoints):
-        # ---- screen: residual over collocation points ----
         jets = eval_r(tapes, lengths, consts, spoints)        # [N,P,T]
-        res, scale = residual_fn(jets, spoints, jnp)          # [N,P]
-        eps = jnp.asarray(1e-30, res.dtype)
-        rel = jnp.abs(res) / (scale + eps)
-        finite = jnp.isfinite(res) & jnp.isfinite(scale)
-        nonfinite_any = jnp.any(~finite, axis=-1)
-        rel_max = jnp.max(jnp.where(finite, rel, jnp.inf), axis=-1)
-        screen_ok = (~nonfinite_any) & (rel_max < screen_rtol)
-
-        # ---- fingerprint: value + gradient at probe points ----
         fj = eval_1(tapes, lengths, consts, fpoints)          # [N,F,3]
-        flat = fj.reshape(fj.shape[0], -1)                    # [N,F*3]
-        fp_finite = jnp.all(jnp.isfinite(flat), axis=-1)
-        keys = _quantize(flat)
-        fp_a = _fold_hash(keys, 0x01000193, 0x811C9DC5)
-        fp_b = _fold_hash(keys, 0x85EBCA6B, 0xC2B2AE35)
-
-        # ---- constant detection (exact zero gradient) ----
-        grads = jnp.abs(fj[..., 1:])                           # [N,F,2]
-        grad_max = jnp.max(grads.reshape(fj.shape[0], -1), axis=-1)
-        val_ok = jnp.all(jnp.isfinite(fj[..., 0]), axis=-1)
-        is_const = (grad_max == 0.0) & val_ok
-
-        return ScreenResult(screen_ok, rel_max, nonfinite_any, is_const,
-                            fp_a, fp_b, fp_finite, flat)
+        return verdicts_from_jets(jets, fj, spoints, residual_fn,
+                                  screen_rtol)
 
     return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def make_tape_jets_kernel(order: int, max_nodes: int, residual_key: str,
+                          screen_rtol: float, n_screen: int, n_fp: int):
+    """Like make_search_kernel but also returns the flattened screen/fp
+    jets, so evaluated uniques can seed the incremental engine's JetCache
+    (depth-1 primitives, resume reconstruction)."""
+    residual_fn = _RESIDUALS[residual_key]
+    eval_r = batched_evaluator(order, max_nodes)
+    eval_1 = batched_evaluator(1, max_nodes)
+
+    def kernel(tapes, lengths, consts, spoints, fpoints):
+        jets = eval_r(tapes, lengths, consts, spoints)
+        fj = eval_1(tapes, lengths, consts, fpoints)
+        sr = verdicts_from_jets(jets, fj, spoints, residual_fn, screen_rtol)
+        return (sr, jets.reshape(jets.shape[0], -1),
+                fj.reshape(fj.shape[0], -1))
+
+    return jax.jit(kernel)
 
 
 @functools.lru_cache(maxsize=None)

@@ -5,7 +5,15 @@ This is the runtime that replaces the reference's orchestrator + process pool
 (GeneralFoliationDiscovery.run_parallel_discovery,
 general_method_paper_reproduction.py:749-904).  There are no queues and no
 worker processes: the depth barrier is the natural synchronization point, and
-within a depth candidate batches stream through one fused device kernel.
+within a depth candidate batches stream through fused device kernels.
+
+Two device paths:
+- **incremental** (default): every unique expression's jets live in a
+  device-resident JetCache; a candidate batch is one gather + one surface-op
+  application (parallel/incremental.py).  ~50x the tape path's throughput.
+- **tape**: the general interpreter (parallel/search.py) — used for depth-1
+  primitives, known solutions, resume seeding, and as a fallback
+  (config.engine = "tape").
 
 Validation funnel (preserves the reference's staged semantics, §3.3-3.4 of
 SURVEY.md, while fixing its treat-unevaluable-as-zero defect):
@@ -14,7 +22,9 @@ SURVEY.md, while fixing its treat-unevaluable-as-zero defect):
            non-finite residual ⇒ reject;   rel > screen_rtol ⇒ reject
   stage 1  fingerprint dedup (on-device hashes; host keeps the fp → uid map)
   stage 2  float64 host recheck of screen survivors (NumPy oracle)
-  stage 3  SymPy exact-zero confirm (the reference's "exact zero" semantics)
+  stage 3  SymPy exact-zero confirm (the reference's "exact zero" semantics;
+           deferred to --verify-pde by default, like the reference's
+           fast_point_only discovery path)
   stage 4  heavy checks (regularity/finiteness/anchor), deferred by default
            exactly like the reference's defer_heavy_checks fast path
 """
@@ -22,7 +32,7 @@ SURVEY.md, while fixing its treat-unevaluable-as-zero defect):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -30,7 +40,9 @@ import numpy as np
 from .enumerator import Candidate, Enumerator
 from .models.base import Problem
 from .ops.interpreter import eval_jets_np
-from .parallel.search import ScreenResult, make_search_kernel
+from .ops.jets import n_coeffs
+from .parallel.incremental import JetCache, make_op_kernel, make_select_kernel
+from .parallel.search import ScreenResult, make_tape_jets_kernel
 from .utils.config import SearchConfig
 
 
@@ -89,14 +101,20 @@ class DiscoveryEngine:
         self._next_row_id = 1
         self._spoints = jnp.asarray(problem.screen_points, jnp.float32)
         self._fpoints = jnp.asarray(problem.fingerprint_points, jnp.float32)
-        self._consts_f32 = None  # rebuilt per batch (table can grow)
-        self._known_fp: Dict[Tuple[int, int], str] = {}
+        self.cache = JetCache(
+            n_screen=len(problem.screen_points),
+            t_screen=n_coeffs(problem.residual_order),
+            n_fp=len(problem.fingerprint_points))
+        self._known_fp: Dict[str, np.ndarray] = {}
         self._known_sympy = {}
         self.candidates_screened = 0
         self.device_seconds = 0.0
         self._prepare_known_solutions()
 
     # ------------------------------------------------------------------
+    # Device evaluation
+    # ------------------------------------------------------------------
+
     def _bucket_len(self, L: int) -> int:
         for b in self.config.buckets:
             if L <= b:
@@ -104,85 +122,124 @@ class DiscoveryEngine:
         raise ValueError(f"tape length {L} exceeds largest bucket "
                          f"{self.config.buckets[-1]}")
 
-    def _kernel(self, bucket: int):
-        return make_search_kernel(
+    def _tape_kernel(self, bucket: int):
+        return make_tape_jets_kernel(
             order=self.problem.residual_order,
             max_nodes=bucket,
             residual_key=self.problem.get_residual_key(),
             screen_rtol=float(self.screen_rtol),
             n_screen=len(self.problem.screen_points),
-            n_fp=len(self.problem.fingerprint_points),
-        )
+            n_fp=len(self.problem.fingerprint_points))
 
-    def _eval_candidates(self, cands: List[Candidate]):
-        """Run the fused kernel over a candidate list (bucketed by tape
-        length).  Returns per-candidate dicts aligned with ``cands``."""
+    def _op_kernel(self, op_name: str):
+        return make_op_kernel(
+            op_name=op_name,
+            order=self.problem.residual_order,
+            residual_key=self.problem.get_residual_key(),
+            screen_rtol=float(self.screen_rtol),
+            n_screen=len(self.problem.screen_points),
+            n_fp=len(self.problem.fingerprint_points))
+
+    def _eval_tape_groups(self, cands: List[Candidate]):
+        """Evaluate arbitrary tapes (bucketed by length).  Yields
+        (group_cands, evals, out_s, out_f) per bucket group."""
         import jax
         import jax.numpy as jnp
 
         groups: Dict[int, List[int]] = {}
         for i, c in enumerate(cands):
             groups.setdefault(self._bucket_len(len(c.tape)), []).append(i)
-
-        out = [None] * len(cands)
         consts = jnp.asarray(self.problem.consts.as_array(np.float32))
-        t0 = time.perf_counter()
         for bucket, idxs in sorted(groups.items()):
-            tapes = np.stack([cands[i].tape.padded(bucket) for i in idxs])
-            lengths = np.array([len(cands[i].tape) for i in idxs],
-                               dtype=np.int32)
-            if self.mesh is not None:
-                from .parallel.mesh import pad_to_multiple, shard_batch
-                n = len(idxs)
-                nd = self.mesh.devices.size
-                npad = pad_to_multiple(max(n, nd), nd)
-                if npad != n:
-                    tapes = np.pad(tapes, ((0, npad - n), (0, 0), (0, 0)))
-                    lengths = np.pad(lengths, (0, npad - n),
-                                     constant_values=1)
-                sh = shard_batch(self.mesh)
-                tapes_d = jax.device_put(jnp.asarray(tapes), sh)
-                lengths_d = jax.device_put(jnp.asarray(lengths), sh)
-            else:
-                tapes_d = jnp.asarray(tapes)
-                lengths_d = jnp.asarray(lengths)
-            res: ScreenResult = self._kernel(bucket)(
-                tapes_d, lengths_d, consts, self._spoints, self._fpoints)
-            res = jax.tree.map(np.asarray, res)
-            for j, i in enumerate(idxs):
-                out[i] = {
-                    "screen_ok": bool(res.screen_ok[j]),
-                    "rel_max": float(res.rel_max[j]),
-                    "nonfinite": bool(res.nonfinite[j]),
-                    "is_const": bool(res.is_const[j]),
-                    "fp": (int(res.fp_a[j]), int(res.fp_b[j])),
-                    "fp_finite": bool(res.fp_finite[j]),
-                    "fp_vals": res.fp_vals[j],
-                }
+            group = [cands[i] for i in idxs]
+            tapes = np.stack([c.tape.padded(bucket) for c in group])
+            lengths = np.array([len(c.tape) for c in group], dtype=np.int32)
+            t0 = time.perf_counter()
+            sr, out_s, out_f = self._tape_kernel(bucket)(
+                jnp.asarray(tapes), jnp.asarray(lengths), consts,
+                self._spoints, self._fpoints)
+            sr = jax.tree.map(np.asarray, sr)
+            self.device_seconds += time.perf_counter() - t0
+            self.candidates_screened += len(group)
+            yield group, sr, out_s, out_f
+
+    def _eval_op_batch(self, op_name: str, cands: List[Candidate]):
+        """Incremental fast path: one gather + one surface op."""
+        import jax
+        import jax.numpy as jnp
+        from .parallel.mesh import pad_to_multiple, replicated, shard_batch
+
+        n = len(cands)
+        a_idx = np.fromiter((c.a.uid for c in cands), np.int32, n)
+        if cands[0].b is not None:
+            b_idx = np.fromiter((c.b.uid for c in cands), np.int32, n)
+        else:
+            b_idx = np.zeros((n,), np.int32)
+
+        # pad to a power-of-two size so each op kernel compiles for only a
+        # handful of batch shapes (a fresh jit trace per exact size would
+        # dominate wall-clock)
+        npad = max(256, 1 << (n - 1).bit_length())
+        if self.mesh is not None:
+            nd = self.mesh.devices.size
+            npad = pad_to_multiple(max(npad, nd), nd)
+        if npad != n:
+            a_idx = np.pad(a_idx, (0, npad - n))
+            b_idx = np.pad(b_idx, (0, npad - n))
+
+        t0 = time.perf_counter()
+        a_d = jnp.asarray(a_idx)
+        b_d = jnp.asarray(b_idx)
+        if self.mesh is not None:
+            sh = shard_batch(self.mesh)
+            a_d = jax.device_put(a_d, sh)
+            b_d = jax.device_put(b_d, sh)
+        sr, out_s, out_f = self._op_kernel(op_name)(
+            self.cache.screen, self.cache.fp, a_d, b_d,
+            self._spoints, self._fpoints)
+        import jax
+        sr = jax.tree.map(np.asarray, sr)
         self.device_seconds += time.perf_counter() - t0
-        self.candidates_screened += len(cands)
-        return out
+        self.candidates_screened += n
+        return sr, out_s, out_f
+
+    @staticmethod
+    def _ev_at(sr: ScreenResult, j: int):
+        """Per-candidate view of a (numpy) ScreenResult."""
+        return {
+            "screen_ok": bool(sr.screen_ok[j]),
+            "rel_max": float(sr.rel_max[j]),
+            "nonfinite": bool(sr.nonfinite[j]),
+            "is_const": bool(sr.is_const[j]),
+            "fp": (int(sr.fp_a[j]), int(sr.fp_b[j])),
+            "fp_finite": bool(sr.fp_finite[j]),
+            "fp_vals": sr.fp_vals[j],
+        }
 
     # ------------------------------------------------------------------
+    # Known solutions
+    # ------------------------------------------------------------------
+
     def _prepare_known_solutions(self):
         """Fingerprint the known solutions so generated matches can be
         tagged (reference general:1785-1798)."""
-        import sympy as sp
         knowns = list(self.problem.known_solutions.items())
         if not knowns:
             return
         cands = []
         for expr_str, name in knowns:
             t = self.problem.parse(expr_str)
-            cands.append(Candidate(tape=t, depth=0, expr_str=expr_str,
-                                   top_op="", has_var=True))
-        evals = self._eval_candidates(cands)
-        for (expr_str, name), ev in zip(knowns, evals):
-            if ev["fp_finite"]:
-                self._known_fp[name] = np.asarray(ev["fp_vals"],
-                                                  dtype=np.float64)
-                self._known_sympy[name] = self.problem.tape_to_sympy(
-                    self.problem.parse(expr_str))
+            cands.append(Candidate(depth=0, expr_str=expr_str, top_op="",
+                                   has_var=True, tape=t,
+                                   consts=self.problem.consts))
+        for group, sr, _, _ in self._eval_tape_groups(cands):
+            for j, cand in enumerate(group):
+                if bool(sr.fp_finite[j]):
+                    name = self.problem.known_solutions[cand.expr_str]
+                    self._known_fp[name] = np.asarray(sr.fp_vals[j],
+                                                      dtype=np.float64)
+                    self._known_sympy[name] = self.problem.tape_to_sympy(
+                        cand.tape)
 
     def _match_known(self, cand: Candidate, fp_vals) -> Optional[str]:
         """Tolerance match on fingerprint values (robust to quantization
@@ -202,6 +259,9 @@ class DiscoveryEngine:
         return None
 
     # ------------------------------------------------------------------
+    # Stages 2-4
+    # ------------------------------------------------------------------
+
     def _recheck_f64(self, cand: Candidate) -> Tuple[bool, float]:
         jets = eval_jets_np(cand.tape.rows, len(cand.tape),
                             self.problem.consts.as_array(np.float64),
@@ -224,100 +284,126 @@ class DiscoveryEngine:
         try:
             u = self.problem.tape_to_sympy(cand.tape)
             return self.problem.exact_zero_residual(u), "symbolic"
-        except Exception as e:
-            return None, f"numeric(symbolic-error)"
+        except Exception:
+            return None, "numeric(symbolic-error)"
 
     # ------------------------------------------------------------------
-    def _process_batch(self, cands: List[Candidate], depth: int,
-                       st: DepthStats, on_row=None):
-        evals = self._eval_candidates(cands)
-        for cand, ev in zip(cands, evals):
-            st.candidates += 1
-            if ev["fp_finite"]:
-                fp = ev["fp"]
+    # Ingestion (dedup + verdicts + cache append)
+    # ------------------------------------------------------------------
+
+    def _ingest(self, cands: List[Candidate], sr: ScreenResult, depth: int,
+                st: DepthStats, on_row=None, out_s=None, out_f=None):
+        import jax.numpy as jnp
+        kept: List[int] = []
+        fp_to_uid = self.fp_to_uid
+        fpa, fpb, fp_finite = sr.fp_a, sr.fp_b, sr.fp_finite
+        st.candidates += len(cands)
+        for j, cand in enumerate(cands):
+            if fp_finite[j]:
+                fp = (int(fpa[j]), int(fpb[j]))
             else:
                 # structural identity for non-finite expressions (the
                 # reference's normalizer also fell back to the raw string)
-                fp = ("tape", hash(cand.tape.key()))
-            if fp in self.fp_to_uid:
+                fp = ("expr", hash(cand.expr_str))
+            if fp in fp_to_uid:
                 continue  # duplicate of an earlier unique
             u = self.enumerator.add_unique(cand)
-            self.fp_to_uid[fp] = u.uid
+            fp_to_uid[fp] = u.uid
+            kept.append(j)
             st.unique += 1
+            self._verdict(cand, self._ev_at(sr, j), depth, st, on_row)
 
-            if ev["is_const"] or not cand.has_var:
-                if self.config.store_constants:
-                    self._add_row(cand, depth, False,
-                                  "Zero gradient (constant expression)",
-                                  "screen", fp, on_row)
-                continue
+        # append the new uniques' jets to the device cache (uid order ==
+        # append order, preserving the row == uid invariant)
+        if out_s is not None and kept:
+            sel = make_select_kernel()
+            idx = jnp.asarray(np.asarray(kept, dtype=np.int32))
+            self.cache.append(sel(out_s, idx), sel(out_f, idx))
 
-            if not ev["fp_finite"] or ev["nonfinite"]:
+    def _verdict(self, cand: Candidate, ev, depth: int, st: DepthStats,
+                 on_row=None):
+        if ev["is_const"] or not cand.has_var:
+            if self.config.store_constants:
                 self._add_row(cand, depth, False,
-                              "Non-finite on safe domain (rejected)",
-                              "screen", fp, on_row)
-                continue
+                              "Zero gradient (constant expression)",
+                              "screen", ev, on_row)
+            return
 
-            if not ev["screen_ok"]:
-                self._add_row(
-                    cand, depth, False,
-                    f"PDE residual != 0 (screen relres ≈ {ev['rel_max']:.2e})",
-                    "screen", fp, on_row)
-                continue
+        if not ev["fp_finite"] or ev["nonfinite"]:
+            self._add_row(cand, depth, False,
+                          "Non-finite on safe domain (rejected)",
+                          "screen", ev, on_row)
+            return
 
-            # stage 2: float64 recheck
+        if not ev["screen_ok"]:
+            self._add_row(
+                cand, depth, False,
+                f"PDE residual != 0 (screen relres ≈ {ev['rel_max']:.2e})",
+                "screen", ev, on_row)
+            return
+
+        # stage 2: float64 recheck (full tape, independent arithmetic).
+        # Clear passes (rel far below the screen threshold — true zeros
+        # screen at ~1e-7) skip it; the gray zone gets the full recheck.
+        if ev["rel_max"] < self.config.f64_skip_below:
+            ok64, rel64 = True, ev["rel_max"]
+            f64_tag = "screen"
+        else:
             ok64, rel64 = self._recheck_f64(cand)
-            if not ok64:
-                self._add_row(
-                    cand, depth, False,
-                    f"Invalid (f64 recheck relres ≈ {rel64:.2e})",
-                    "screen+f64", fp, on_row)
-                continue
+            f64_tag = "screen+f64"
+        if not ok64:
+            self._add_row(
+                cand, depth, False,
+                f"Invalid (f64 recheck relres ≈ {rel64:.2e})",
+                "screen+f64", ev, on_row)
+            return
 
-            # stage 3: symbolic confirm
-            verdict, method = self._confirm_symbolic(cand)
-            if verdict is False:
-                self._add_row(
-                    cand, depth, False,
-                    "Invalid (symbolic residual != 0; numeric zero was "
-                    f"relres ≈ {rel64:.2e})",
-                    "screen+f64+symbolic", fp, on_row)
-                continue
-            if verdict is True:
-                reason = "Valid (exact zero; heavy checks deferred)"
-            else:
-                reason = (f"Valid (numeric zero, relres ≈ {rel64:.2e}; "
-                          "symbolic confirm skipped)")
+        # stage 3: symbolic confirm
+        verdict, method = self._confirm_symbolic(cand)
+        if verdict is False:
+            self._add_row(
+                cand, depth, False,
+                "Invalid (symbolic residual != 0; numeric zero was "
+                f"relres ≈ {rel64:.2e})",
+                "screen+f64+symbolic", ev, on_row)
+            return
+        if verdict is True:
+            reason = "Valid (exact zero; heavy checks deferred)"
+        else:
+            reason = (f"Valid (numeric zero, relres ≈ {rel64:.2e}; "
+                      "symbolic confirm skipped)")
 
-            row = self._add_row(cand, depth, True, reason,
-                                f"screen+f64+{method}", fp, on_row,
-                                known=self._match_known(cand, ev["fp_vals"]))
-            st.valid += 1
+        row = self._add_row(cand, depth, True, reason,
+                            f"{f64_tag}+{method}", ev, on_row,
+                            known=self._match_known(cand, ev["fp_vals"]))
+        st.valid += 1
 
-            # stage 4: heavy checks
-            if not self.config.defer_heavy_checks:
-                try:
-                    hu = self.problem.tape_to_sympy(cand.tape)
-                    h_ok, h_reason = self.problem.heavy_checks(hu)
-                except Exception as e:
-                    h_ok, h_reason = False, f"heavy check error: {e}"
-                row.heavy_is_valid = h_ok
-                row.heavy_reason = h_reason
-                if not h_ok:
-                    row.is_valid = False
-                    row.validation_reason = h_reason
-                    st.valid -= 1
-                    self.valid_rows.remove(row)
+        # stage 4: heavy checks
+        if not self.config.defer_heavy_checks:
+            try:
+                hu = self.problem.tape_to_sympy(cand.tape)
+                h_ok, h_reason = self.problem.heavy_checks(hu)
+            except Exception as e:
+                h_ok, h_reason = False, f"heavy check error: {e}"
+            row.heavy_is_valid = h_ok
+            row.heavy_reason = h_reason
+            if not h_ok:
+                row.is_valid = False
+                row.validation_reason = h_reason
+                st.valid -= 1
+                self.valid_rows.remove(row)
 
-    def _add_row(self, cand, depth, is_valid, reason, method, fp,
+    def _add_row(self, cand, depth, is_valid, reason, method, ev,
                  on_row=None, known=None) -> Row:
+        if ev["fp_finite"]:
+            sig = f"{ev['fp'][0]:08x}{ev['fp'][1]:08x}"
+        else:
+            sig = f"expr{hash(cand.expr_str) & 0xFFFFFFFFFFFFFFFF:016x}"
         row = Row(
             id=self._next_row_id,
             expression=cand.expr_str,
             normalized=cand.expr_str,
-            signature=(f"{fp[0]:08x}{fp[1]:08x}"
-                       if isinstance(fp[0], int) else
-                       f"tape{fp[1] & 0xFFFFFFFFFFFFFFFF:016x}"),
+            signature=sig,
             depth=depth,
             is_valid=is_valid,
             validation_reason=reason,
@@ -334,29 +420,73 @@ class DiscoveryEngine:
         return row
 
     # ------------------------------------------------------------------
+    # Main loop
+    # ------------------------------------------------------------------
+
     def run(self, max_depth: Optional[int] = None, on_row=None,
             on_depth=None, start_depth: int = 1) -> List[DepthStats]:
         max_depth = max_depth or self.config.max_depth
+        use_incremental = self.config.engine == "incremental"
         for depth in range(start_depth, max_depth + 1):
             t0 = time.perf_counter()
             st = DepthStats(depth=depth)
             if depth == 1:
-                batch = self.enumerator.primitive_candidates()
-                self._process_batch(batch, depth, st, on_row)
+                prims = self.enumerator.primitive_candidates()
+                for group, evals, out_s, out_f in self._eval_tape_groups(
+                        prims):
+                    self._ingest(group, evals, depth, st, on_row,
+                                 out_s, out_f)
+            elif use_incremental:
+                for op_name, batch in self.enumerator.op_batches_at_depth(
+                        depth, self.config.batch_size):
+                    evals, out_s, out_f = self._eval_op_batch(op_name, batch)
+                    self._ingest(batch, evals, depth, st, on_row,
+                                 out_s, out_f)
             else:
                 buf: List[Candidate] = []
+
+                def flush(buf):
+                    for group, evals, out_s, out_f in self._eval_tape_groups(
+                            buf):
+                        self._ingest(group, evals, depth, st, on_row,
+                                     out_s, out_f)
+
                 for cand in self.enumerator.candidates_at_depth(depth):
                     buf.append(cand)
                     if len(buf) >= self.config.batch_size:
-                        self._process_batch(buf, depth, st, on_row)
+                        flush(buf)
                         buf = []
                 if buf:
-                    self._process_batch(buf, depth, st, on_row)
+                    flush(buf)
             st.seconds = time.perf_counter() - t0
             self.stats.append(st)
             if on_depth is not None:
                 on_depth(st)
         return self.stats
+
+    def seed_cache_from_uniques(self):
+        """Resume path: re-evaluate all reloaded uniques' tapes and place
+        their jets at their uid rows."""
+        import jax.numpy as jnp
+        uniques = sorted(
+            (u for us in self.enumerator.uniques_by_depth.values()
+             for u in us), key=lambda u: u.uid)
+        if not uniques:
+            return
+        # ensure capacity, then place rows by uid (bucket groups come back
+        # out of uid order)
+        total = uniques[-1].uid + 1
+        if total > self.cache.capacity:
+            self.cache._grow(total)
+        pos = 0
+        for group, evals, out_s, out_f in self._eval_tape_groups(uniques):
+            uids = jnp.asarray(
+                np.asarray([u.uid for u in group], dtype=np.int32))
+            self.cache.screen = self.cache.screen.at[uids].set(
+                out_s.astype(self.cache.dtype))
+            self.cache.fp = self.cache.fp.at[uids].set(
+                out_f.astype(self.cache.dtype))
+        self.cache.n = max(self.cache.n, total)
 
     # ------------------------------------------------------------------
     def summary(self) -> Dict:

@@ -171,13 +171,14 @@ class DiscoveryRun:
                 expr_str=r["expression"],
                 top_op=_top_op_of(r["expression"]),
                 has_var=tape.uses_var(),
-                is_one=tape.is_const_one(self.problem.consts))
+                is_one=tape.is_const_one(self.problem.consts),
+                consts=self.problem.consts)
             u = eng.enumerator.add_unique(cand)
             sig = r["signature"]
-            if sig and not sig.startswith("tape"):
+            if sig and not (sig.startswith("tape") or sig.startswith("expr")):
                 fp = (int(sig[:8], 16), int(sig[8:16], 16))
             else:
-                fp = ("tape", hash(tape.key()))
+                fp = ("expr", hash(r["expression"]))
             eng.fp_to_uid[fp] = u.uid
             row = Row(
                 id=int(r["id"]), expression=r["expression"],
@@ -192,6 +193,7 @@ class DiscoveryRun:
             if row.is_valid:
                 eng.valid_rows.append(row)
             eng._next_row_id = max(eng._next_row_id, row.id + 1)
+        eng.seed_cache_from_uniques()
         self._resume_start_depth = completed + 1
         self._log(f"Resumed {run_id}: {len(rows)} rows, "
                   f"completed depth {completed}")

@@ -30,12 +30,23 @@ class SearchConfig:
     # unique set that feeds deeper enumeration).
     store_constants: bool = True
 
-    # device batching
+    # device engine: "incremental" evaluates candidates from the device
+    # jet cache (one surface-op per candidate); "tape" re-interprets full
+    # tapes (general fallback)
+    engine: str = "incremental"
+
+    # device batching (tape path buckets)
     buckets: Tuple[int, ...] = (16, 32, 64, 128, 256)
 
     # thresholds (None -> problem defaults)
     screen_rtol: Optional[float] = None
     confirm_rtol: Optional[float] = None
+
+    # f32 screen results below this relative residual are accepted without
+    # the per-candidate float64 host recheck (true solutions screen at
+    # ~1e-7 rel; the f64 stage exists for the gray zone up to screen_rtol).
+    # Set to 0.0 to force the f64 recheck for every screen-passer.
+    f64_skip_below: float = 1e-5
 
     # novel-solution equivalence classing in the final report is SymPy-heavy
     # (simplify per valid row, reference general:1919-2008); skip it when
