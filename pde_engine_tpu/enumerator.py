@@ -125,10 +125,17 @@ class Enumerator:
             binary_names += list(problem.special_ops)
         self.binary = [(n, ot.ALL_SURFACE_OPS[n]) for n in binary_names]
         self.uniques_by_depth: Dict[int, List[Unique]] = {}
+        self.by_uid: List[Unique] = []
         self._next_uid = 0
         # coordinate-like uids (operand restriction for sqrt_shift ops,
         # reference lean_bridge_fixed.py:217-219)
         self._coordinate_uids: Set[int] = set()
+        # per-uid flag arrays for the vectorized fast path
+        self._cap = 1024
+        self.f_has_var = np.zeros(self._cap, np.bool_)
+        self.f_is_one = np.zeros(self._cap, np.bool_)
+        self.f_top_inv = np.zeros(self._cap, np.bool_)
+        self.f_is_coord = np.zeros(self._cap, np.bool_)
 
     # ------------------------------------------------------------------
     def primitive_candidates(self) -> List[Candidate]:
@@ -145,9 +152,48 @@ class Enumerator:
         u = Unique(cand, self._next_uid)
         self._next_uid += 1
         self.uniques_by_depth.setdefault(cand.depth, []).append(u)
+        self.by_uid.append(u)
+        if u.uid >= self._cap:
+            self._grow_flags()
+        self.f_has_var[u.uid] = u.has_var
+        self.f_is_one[u.uid] = u.is_one
+        self.f_top_inv[u.uid] = (u.top_op == "inv")
         if self._is_coordinate_like(u):
             self._coordinate_uids.add(u.uid)
+            self.f_is_coord[u.uid] = True
         return u
+
+    def add_unique_from_op(self, op_name: str, a_uid: int,
+                           b_uid: Optional[int], depth: int) -> Unique:
+        """Fast-path unique creation from the vectorized ingest: builds the
+        DAG node (and its display string) from parent uniques."""
+        a = self.by_uid[a_uid]
+        b = self.by_uid[b_uid] if b_uid is not None else None
+        if b is None:
+            s = f"{op_name}({a.expr_str})"
+            has_var = a.has_var
+        else:
+            fmt = ot.SURFACE_FORMAT.get(op_name)
+            if fmt:
+                s = fmt.format(a=wrap_operand(a.expr_str),
+                               b=wrap_operand(b.expr_str))
+            else:
+                s = f"{op_name}({a.expr_str}, {b.expr_str})"
+            has_var = a.has_var or b.has_var
+        cand = Candidate(depth=depth, expr_str=s, top_op=op_name,
+                         has_var=has_var, op_name=op_name, a=a, b=b,
+                         consts=self.problem.consts)
+        return self.add_unique(cand)
+
+    def _grow_flags(self):
+        new_cap = self._cap * 2
+        while new_cap <= self._next_uid:
+            new_cap *= 2
+        for name in ("f_has_var", "f_is_one", "f_top_inv", "f_is_coord"):
+            arr = getattr(self, name)
+            pad = np.zeros(new_cap - self._cap, np.bool_)
+            setattr(self, name, np.concatenate([arr, pad]))
+        self._cap = new_cap
 
     def _is_coordinate_like(self, u: Unique) -> bool:
         v0, v1 = self.problem.var_names
@@ -245,6 +291,85 @@ class Enumerator:
         for name, buf in buffers.items():
             if buf:
                 yield name, buf
+
+    # ------------------------------------------------------------------
+    def vector_batches_at_depth(self, depth: int, batch_size: int
+                                ) -> Iterator[Tuple[str, np.ndarray,
+                                                    Optional[np.ndarray]]]:
+        """Array-level candidate generation (no Python objects, no strings):
+        yields structurally deduplicated ``(op_name, a_uids, b_uids)``
+        batches.  Semantics identical to :meth:`candidates_at_depth`
+        (same prune rules, same commutative canonicalization); the 10^5-10^8
+        per-depth candidate streams never touch Python-per-candidate code.
+        """
+        assert depth >= 2
+        prune = self.prune
+
+        def uid_arr(d):
+            return np.fromiter((u.uid for u in
+                                self.uniques_by_depth.get(d, [])),
+                               np.int32,
+                               len(self.uniques_by_depth.get(d, [])))
+
+        def chunks(name, a, b):
+            for i in range(0, a.size, batch_size):
+                yield (name, a[i:i + batch_size],
+                       None if b is None else b[i:i + batch_size])
+
+        # unary over depth-1 uniques
+        prev = uid_arr(depth - 1)
+        if prev.size:
+            base = prev[self.f_has_var[prev]] if prune else prev
+            for name, _ in self.unary:
+                sel = base
+                if prune:
+                    if name == "inv":
+                        sel = base[~self.f_top_inv[base]]
+                    elif name in ("sqrt", "square", "pow_3_2",
+                                  "pow_neg_3_2"):
+                        sel = base[~self.f_is_one[base]]
+                yield from chunks(name, sel, None)
+
+        # binary over (d1, d2) blocks
+        for d1 in range(1, depth):
+            d2 = depth - d1
+            A, B = uid_arr(d1), uid_arr(d2)
+            if not A.size or not B.size:
+                continue
+            a = np.repeat(A, B.size)
+            b = np.tile(B, A.size)
+            var = (self.f_has_var[a] | self.f_has_var[b]) if prune else \
+                np.ones(a.size, np.bool_)
+            for name, _ in self.binary:
+                commutative = name in ("add", "mul")
+                if commutative and d1 > d2:
+                    continue  # block fully redundant with (d2, d1)
+                aa, bb = a, b
+                if commutative:
+                    sw = aa > bb
+                    aa = np.where(sw, b, a)
+                    bb = np.where(sw, a, b)
+                m = var.copy()
+                if prune:
+                    if name == "sub":
+                        m &= aa != bb
+                    elif name == "mul":
+                        m &= ~(self.f_is_one[aa] | self.f_is_one[bb])
+                    elif name == "div":
+                        m &= (~self.f_is_one[bb]) & (aa != bb)
+                    elif name == "geom_sum":
+                        m &= ~self.f_is_one[bb]
+                    elif name in ("sqrt_shift_neg", "sqrt_shift_pos"):
+                        m &= self.f_is_coord[aa] & self.f_is_coord[bb]
+                sa, sb = aa[m], bb[m]
+                if commutative and d1 == d2 and sa.size:
+                    # swapped duplicates exist only within a same-depth
+                    # block; keep first occurrences in enumeration order
+                    key = sa.astype(np.int64) << 32 | sb.astype(np.int64)
+                    _, fi = np.unique(key, return_index=True)
+                    fi.sort()
+                    sa, sb = sa[fi], sb[fi]
+                yield from chunks(name, sa, sb)
 
     def count_uniques(self) -> int:
         return self._next_uid

@@ -130,6 +130,80 @@ def batched_evaluator(order: int, max_nodes: int):
 
 
 # ---------------------------------------------------------------------------
+# Batched float64 host interpreter (opcode-grouped dispatch; used to
+# re-check the screen's gray zone in bulk).
+# ---------------------------------------------------------------------------
+
+def eval_jets_np_many(tapes: np.ndarray, lengths: np.ndarray,
+                      consts: np.ndarray, points: np.ndarray,
+                      order: int) -> np.ndarray:
+    """NumPy float64 jet evaluation of a batch of tapes.
+
+    tapes: int32[N, L, 3] (padded); lengths: int[N]; points: f64[P, 2].
+    Returns f64[N, P, T] jets of each tape's result register.
+
+    Per node, candidates are grouped by opcode so each subgroup takes the
+    exact arithmetic path (no branch waste), but the work inside a group is
+    vectorized — ~50x faster than evaluating tapes one by one.
+    """
+    from .jets import jet_var as _jet_var
+
+    N, L, _ = tapes.shape
+    P = points.shape[0]
+    T = n_coeffs(order)
+    var0 = _jet_var(points[:, 0].astype(np.float64), 0, order, np)  # (P,T)
+    var1 = _jet_var(points[:, 1].astype(np.float64), 1, order, np)
+    buf = np.zeros((L, N, P, T), dtype=np.float64)
+    rowsN = np.arange(N)
+    Lmax = int(lengths.max())
+    with np.errstate(all="ignore"):
+        for i in range(Lmax):
+            opc = tapes[:, i, 0]
+            a = tapes[:, i, 1]
+            b = tapes[:, i, 2]
+            av = buf[a, rowsN]                      # (N,P,T)
+            out = np.zeros((N, P, T), dtype=np.float64)
+            for code in np.unique(opc):
+                m = opc == code
+                if code == ot.NOP:
+                    continue
+                elif code == ot.VAR0:
+                    out[m] = var0
+                elif code == ot.VAR1:
+                    out[m] = var1
+                elif code == ot.CONST:
+                    out[m] = 0.0
+                    out[m, :, 0] = consts[b[m], None]
+                elif code == ot.ADD:
+                    out[m] = av[m] + buf[b[m], rowsN[m]]
+                elif code == ot.SUB:
+                    out[m] = av[m] - buf[b[m], rowsN[m]]
+                elif code == ot.MUL:
+                    out[m] = jet_mul(av[m], buf[b[m], rowsN[m]], order, np)
+                elif code == ot.NEG:
+                    out[m] = -av[m]
+                elif code == ot.POW:
+                    for pi in np.unique(b[m]):
+                        mm = m & (b == pi)
+                        v = buf[a[mm], rowsN[mm]][..., 0]
+                        fs = pow_fs(v, ot.POW_EXPONENTS[pi], order, np)
+                        out[mm] = jet_compose(buf[a[mm], rowsN[mm]], fs,
+                                              order, np)
+                elif code == ot.EXP:
+                    sub = av[m]
+                    out[m] = jet_compose(sub, exp_fs(sub[..., 0], order, np),
+                                         order, np)
+                elif code == ot.LOG:
+                    sub = av[m]
+                    out[m] = jet_compose(sub, log_fs(sub[..., 0], order, np),
+                                         order, np)
+                else:
+                    raise ValueError(f"bad opcode {code}")
+            buf[i] = out
+    return buf[lengths - 1, rowsN]
+
+
+# ---------------------------------------------------------------------------
 # Float64 host oracle (exact opcode dispatch, used for survivor re-checks
 # and as an independent test oracle against SymPy).
 # ---------------------------------------------------------------------------

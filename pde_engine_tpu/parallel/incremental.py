@@ -59,9 +59,15 @@ class JetCache:
         self.fp = jnp.concatenate([self.fp, pad_f], axis=0)
         self.capacity = new_cap
 
-    def append(self, screen_rows, fp_rows) -> None:
+    def append(self, screen_rows, fp_rows,
+               real_rows: Optional[int] = None) -> None:
+        """Append rows at the current tail.  ``real_rows`` advances the
+        logical size by less than the physical write (callers pad the row
+        count to a power of two so XLA compiles once per shape; the pad
+        rows sit beyond ``n`` and get overwritten by the next append)."""
         k = screen_rows.shape[0]
-        if k == 0:
+        adv = k if real_rows is None else real_rows
+        if adv == 0:
             return
         if self.n + k > self.capacity:
             self._grow(self.n + k)
@@ -69,7 +75,7 @@ class JetCache:
             self.screen, screen_rows.astype(self.dtype), (self.n, 0))
         self.fp = jax.lax.dynamic_update_slice(
             self.fp, fp_rows.astype(self.dtype), (self.n, 0))
-        self.n += k
+        self.n += adv
 
 
 @functools.lru_cache(maxsize=None)

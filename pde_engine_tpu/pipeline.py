@@ -109,6 +109,7 @@ class DiscoveryEngine:
         self._known_sympy = {}
         self.candidates_screened = 0
         self.device_seconds = 0.0
+        self._gray: List[Tuple[Candidate, dict]] = []
         self._prepare_known_solutions()
 
     # ------------------------------------------------------------------
@@ -164,16 +165,24 @@ class DiscoveryEngine:
             yield group, sr, out_s, out_f
 
     def _eval_op_batch(self, op_name: str, cands: List[Candidate]):
-        """Incremental fast path: one gather + one surface op."""
-        import jax
-        import jax.numpy as jnp
-        from .parallel.mesh import pad_to_multiple, replicated, shard_batch
-
+        """Incremental path over Candidate objects (tape-engine compat)."""
         n = len(cands)
         a_idx = np.fromiter((c.a.uid for c in cands), np.int32, n)
         if cands[0].b is not None:
             b_idx = np.fromiter((c.b.uid for c in cands), np.int32, n)
         else:
+            b_idx = np.zeros((n,), np.int32)
+        return self._eval_op_idx(op_name, a_idx, b_idx)
+
+    def _eval_op_idx(self, op_name: str, a_idx: np.ndarray,
+                     b_idx: Optional[np.ndarray]):
+        """Incremental fast path: one gather + one surface op."""
+        import jax
+        import jax.numpy as jnp
+        from .parallel.mesh import pad_to_multiple, replicated, shard_batch
+
+        n = a_idx.size
+        if b_idx is None:
             b_idx = np.zeros((n,), np.int32)
 
         # pad to a power-of-two size so each op kernel compiles for only a
@@ -291,6 +300,20 @@ class DiscoveryEngine:
     # Ingestion (dedup + verdicts + cache append)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _fp_keys(sr: ScreenResult, n: int, struct_keys: np.ndarray
+                 ) -> np.ndarray:
+        """uint64 dedup keys: fingerprint hash when finite, structural
+        (op, a, b) hash otherwise (the reference's normalizer likewise fell
+        back to the raw candidate string for unparseable forms)."""
+        keys = (sr.fp_a[:n].astype(np.uint64) << np.uint64(32)) \
+            | sr.fp_b[:n].astype(np.uint64)
+        nf = ~sr.fp_finite[:n]
+        if nf.any():
+            keys = keys.copy()
+            keys[nf] = struct_keys[nf]
+        return keys
+
     def _ingest(self, cands: List[Candidate], sr: ScreenResult, depth: int,
                 st: DepthStats, on_row=None, out_s=None, out_f=None):
         import jax.numpy as jnp
@@ -300,11 +323,11 @@ class DiscoveryEngine:
         st.candidates += len(cands)
         for j, cand in enumerate(cands):
             if fp_finite[j]:
-                fp = (int(fpa[j]), int(fpb[j]))
+                fp = (int(fpa[j]) << 32) | int(fpb[j])
             else:
                 # structural identity for non-finite expressions (the
                 # reference's normalizer also fell back to the raw string)
-                fp = ("expr", hash(cand.expr_str))
+                fp = (hash(cand.expr_str) & ((1 << 63) - 1)) | (1 << 63)
             if fp in fp_to_uid:
                 continue  # duplicate of an earlier unique
             u = self.enumerator.add_unique(cand)
@@ -316,9 +339,62 @@ class DiscoveryEngine:
         # append the new uniques' jets to the device cache (uid order ==
         # append order, preserving the row == uid invariant)
         if out_s is not None and kept:
-            sel = make_select_kernel()
-            idx = jnp.asarray(np.asarray(kept, dtype=np.int32))
-            self.cache.append(sel(out_s, idx), sel(out_f, idx))
+            self._append_kept(out_s, out_f, kept)
+
+    def _append_kept(self, out_s, out_f, kept: List[int]):
+        """Append the kept rows' jets to the cache.  The selection index is
+        padded to a power-of-two length (a fresh XLA compile per exact
+        survivor count dominated depth-4 wall-clock); the pad rows land
+        beyond cache.n and are overwritten by the next append."""
+        import jax.numpy as jnp
+        k = len(kept)
+        kpad = max(256, 1 << (k - 1).bit_length())
+        idx = np.zeros(kpad, np.int32)
+        idx[:k] = kept
+        sel = make_select_kernel()
+        idxd = jnp.asarray(idx)
+        self.cache.append(sel(out_s, idxd), sel(out_f, idxd),
+                          real_rows=k)
+
+    def _ingest_vec(self, op_name: str, a_u: np.ndarray,
+                    b_u: Optional[np.ndarray], sr: ScreenResult,
+                    depth: int, st: DepthStats, on_row=None,
+                    out_s=None, out_f=None):
+        """Vectorized ingestion: per-candidate Python runs only for NEW
+        uniques (dedup happens at array level)."""
+        import jax.numpy as jnp
+        n = a_u.size
+        st.candidates += n
+
+        # structural hashes (used for non-finite-fingerprint candidates)
+        bb = b_u if b_u is not None else np.zeros(n, np.int32)
+        struct = (a_u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                  ^ bb.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                  ^ np.uint64(hash(op_name) & 0x7FFFFFFF))
+        struct |= np.uint64(1) << np.uint64(63)
+        keys = self._fp_keys(sr, n, struct)
+
+        # within-batch first occurrences
+        _, first_idx = np.unique(keys, return_index=True)
+        first_idx.sort()
+
+        fp_to_uid = self.fp_to_uid
+        kept: List[int] = []
+        enum = self.enumerator
+        for j in first_idx.tolist():
+            k = int(keys[j])
+            if k in fp_to_uid:
+                continue
+            u = enum.add_unique_from_op(
+                op_name, int(a_u[j]),
+                None if b_u is None else int(b_u[j]), depth)
+            fp_to_uid[k] = u.uid
+            kept.append(j)
+            st.unique += 1
+            self._verdict(u, self._ev_at(sr, j), depth, st, on_row)
+
+        if out_s is not None and kept:
+            self._append_kept(out_s, out_f, kept)
 
     def _verdict(self, cand: Candidate, ev, depth: int, st: DepthStats,
                  on_row=None):
@@ -344,21 +420,16 @@ class DiscoveryEngine:
 
         # stage 2: float64 recheck (full tape, independent arithmetic).
         # Clear passes (rel far below the screen threshold — true zeros
-        # screen at ~1e-7) skip it; the gray zone gets the full recheck.
+        # screen at ~1e-7) skip it; the gray zone is queued and re-checked
+        # in bulk at the end of the depth (batched f64 interpreter).
         if ev["rel_max"] < self.config.f64_skip_below:
-            ok64, rel64 = True, ev["rel_max"]
-            f64_tag = "screen"
+            self._finalize_pass(cand, ev, ev["rel_max"], "screen",
+                                depth, st, on_row)
         else:
-            ok64, rel64 = self._recheck_f64(cand)
-            f64_tag = "screen+f64"
-        if not ok64:
-            self._add_row(
-                cand, depth, False,
-                f"Invalid (f64 recheck relres ≈ {rel64:.2e})",
-                "screen+f64", ev, on_row)
-            return
+            self._gray.append((cand, ev))
 
-        # stage 3: symbolic confirm
+    def _finalize_pass(self, cand, ev, rel64, f64_tag, depth, st, on_row):
+        """Stages 3-4 for a candidate that survived the numeric funnel."""
         verdict, method = self._confirm_symbolic(cand)
         if verdict is False:
             self._add_row(
@@ -392,6 +463,38 @@ class DiscoveryEngine:
                 row.validation_reason = h_reason
                 st.valid -= 1
                 self.valid_rows.remove(row)
+
+    def _flush_gray(self, depth: int, st: DepthStats, on_row=None,
+                    chunk: int = 4096):
+        """Batched float64 recheck of the screen's gray zone."""
+        from .ops.interpreter import eval_jets_np_many
+        gray = self._gray
+        self._gray = []
+        if not gray:
+            return
+        consts = self.problem.consts.as_array(np.float64)
+        pts = self.problem.screen_points
+        for i in range(0, len(gray), chunk):
+            part = gray[i:i + chunk]
+            L = max(len(c.tape) for c, _ in part)
+            tapes = np.stack([c.tape.padded(L) for c, _ in part])
+            lengths = np.array([len(c.tape) for c, _ in part], np.int64)
+            jets = eval_jets_np_many(tapes, lengths, consts, pts,
+                                     self.problem.residual_order)
+            res, scale = self.problem.residual_fn(jets, pts, np)
+            with np.errstate(invalid="ignore"):
+                rel = np.abs(res) / (scale + 1e-300)
+            finite = (np.isfinite(res) & np.isfinite(scale)).all(axis=-1)
+            relmax = np.where(finite, rel.max(axis=-1), np.inf)
+            for j, (cand, ev) in enumerate(part):
+                if finite[j] and relmax[j] < self.confirm_rtol:
+                    self._finalize_pass(cand, ev, float(relmax[j]),
+                                        "screen+f64", depth, st, on_row)
+                else:
+                    self._add_row(
+                        cand, depth, False,
+                        f"Invalid (f64 recheck relres ≈ {relmax[j]:.2e})",
+                        "screen+f64", ev, on_row)
 
     def _add_row(self, cand, depth, is_valid, reason, method, ev,
                  on_row=None, known=None) -> Row:
@@ -437,11 +540,14 @@ class DiscoveryEngine:
                     self._ingest(group, evals, depth, st, on_row,
                                  out_s, out_f)
             elif use_incremental:
-                for op_name, batch in self.enumerator.op_batches_at_depth(
-                        depth, self.config.batch_size):
-                    evals, out_s, out_f = self._eval_op_batch(op_name, batch)
-                    self._ingest(batch, evals, depth, st, on_row,
-                                 out_s, out_f)
+                for op_name, a_u, b_u in \
+                        self.enumerator.vector_batches_at_depth(
+                            depth, self.config.batch_size):
+                    if a_u.size == 0:
+                        continue
+                    sr, out_s, out_f = self._eval_op_idx(op_name, a_u, b_u)
+                    self._ingest_vec(op_name, a_u, b_u, sr, depth, st,
+                                     on_row, out_s, out_f)
             else:
                 buf: List[Candidate] = []
 
@@ -458,6 +564,7 @@ class DiscoveryEngine:
                         buf = []
                 if buf:
                     flush(buf)
+            self._flush_gray(depth, st, on_row)
             st.seconds = time.perf_counter() - t0
             self.stats.append(st)
             if on_depth is not None:

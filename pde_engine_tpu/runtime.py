@@ -176,9 +176,9 @@ class DiscoveryRun:
             u = eng.enumerator.add_unique(cand)
             sig = r["signature"]
             if sig and not (sig.startswith("tape") or sig.startswith("expr")):
-                fp = (int(sig[:8], 16), int(sig[8:16], 16))
+                fp = (int(sig[:8], 16) << 32) | int(sig[8:16], 16)
             else:
-                fp = ("expr", hash(r["expression"]))
+                fp = (hash(r["expression"]) & ((1 << 63) - 1)) | (1 << 63)
             eng.fp_to_uid[fp] = u.uid
             row = Row(
                 id=int(r["id"]), expression=r["expression"],
