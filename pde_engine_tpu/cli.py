@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of deferring")
     p.add_argument("--print-run-id", type=str,
                    help="Print results for an existing run (DB only)")
+    p.add_argument("--watch-run", type=str,
+                   help="Attach a live status monitor to a running run")
     p.add_argument("--db-path", type=str)
     p.add_argument("--resume-run", type=str,
                    help="Resume generation/validation for an existing run")
@@ -104,6 +106,19 @@ def main(argv=None) -> int:
                                        mesh=mesh)
         return DiscoveryRun(_problem(), config=config, run_id=run_id,
                             db_path=args.db_path, mesh=mesh)
+
+    if args.watch_run:
+        from .models import load_problem as _lp
+        from .utils.db import db_path_for
+        from .utils.monitor import watch
+        _prob = _lp(args.problem)
+        db_path = args.db_path or db_path_for(_prob.get_output_dir(),
+                                              args.watch_run)
+        if not os.path.exists(db_path):
+            print(f"Database not found: {db_path}")
+            return 1
+        watch(db_path, args.watch_run)
+        return 0
 
     if args.print_run_id:
         # existence check BEFORE constructing the run — RunDB would

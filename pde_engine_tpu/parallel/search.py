@@ -64,19 +64,31 @@ def _fold_hash(keys, mult: int, seed: int):
     return h
 
 
+SCALE_FLOOR = 1e-25  # f32 near-underflow: below this a point is blind
+
+
 def verdicts_from_jets(jets, fj, spoints, residual_fn,
                        screen_rtol: float) -> ScreenResult:
     """Shared verdict block: residual screen + fingerprint + constant
     detection, given screen-order jets [N,P,T] and order-1 fingerprint jets
     [N,F,3].  Used by both the tape-interpreting kernel and the
-    incremental per-op kernels."""
+    incremental per-op kernels.
+
+    A point only counts as a pass when the magnitude bound is above an
+    underflow floor: expressions like exp(-(1-x)*e^(r^2)) underflow residual
+    AND scale to exact zero at every point, which would otherwise read as a
+    perfect solution — the float-underflow analog of the reference's
+    treat-NaN-as-zero defect (SURVEY.md §4).  Genuinely constant
+    expressions are excluded separately via the exact-zero gradient."""
     res, scale = residual_fn(jets, spoints, jnp)          # [N,P]
     eps = jnp.asarray(1e-30, res.dtype)
     rel = jnp.abs(res) / (scale + eps)
     finite = jnp.isfinite(res) & jnp.isfinite(scale)
+    informative = scale > SCALE_FLOOR
     nonfinite_any = jnp.any(~finite, axis=-1)
     rel_max = jnp.max(jnp.where(finite, rel, jnp.inf), axis=-1)
-    screen_ok = (~nonfinite_any) & (rel_max < screen_rtol)
+    screen_ok = (~nonfinite_any) & (rel_max < screen_rtol) \
+        & jnp.all(informative, axis=-1)
 
     flat = fj.reshape(fj.shape[0], -1)                    # [N,F*3]
     fp_finite = jnp.all(jnp.isfinite(flat), axis=-1)

@@ -72,6 +72,12 @@ class DepthStats:
     unique: int = 0
     valid: int = 0
     seconds: float = 0.0
+    # stage timers (observability; the reference only had wall-clock
+    # SLOW-VALIDATION logging, general:1296-1323)
+    t_enum: float = 0.0       # host candidate generation
+    t_device: float = 0.0     # kernel dispatch + result transfer
+    t_ingest: float = 0.0     # dedup + verdicts + rows
+    t_gray: float = 0.0       # batched f64 rechecks
 
 
 class DiscoveryEngine:
@@ -280,7 +286,9 @@ class DiscoveryEngine:
             jets, self.problem.screen_points, np)
         with np.errstate(invalid="ignore"):
             rel = np.abs(res) / (scale + 1e-300)
-        if not (np.isfinite(res).all() and np.isfinite(scale).all()):
+        from .parallel.search import SCALE_FLOOR
+        if not (np.isfinite(res).all() and np.isfinite(scale).all()
+                and (scale > SCALE_FLOOR).all()):
             return False, float("inf")
         return bool(rel.max() < self.confirm_rtol), float(rel.max())
 
@@ -484,7 +492,9 @@ class DiscoveryEngine:
             res, scale = self.problem.residual_fn(jets, pts, np)
             with np.errstate(invalid="ignore"):
                 rel = np.abs(res) / (scale + 1e-300)
-            finite = (np.isfinite(res) & np.isfinite(scale)).all(axis=-1)
+            from .parallel.search import SCALE_FLOOR
+            finite = (np.isfinite(res) & np.isfinite(scale)).all(axis=-1) \
+                & (scale > SCALE_FLOOR).all(axis=-1)
             relmax = np.where(finite, rel.max(axis=-1), np.inf)
             for j, (cand, ev) in enumerate(part):
                 if finite[j] and relmax[j] < self.confirm_rtol:
@@ -527,7 +537,8 @@ class DiscoveryEngine:
     # ------------------------------------------------------------------
 
     def run(self, max_depth: Optional[int] = None, on_row=None,
-            on_depth=None, start_depth: int = 1) -> List[DepthStats]:
+            on_depth=None, start_depth: int = 1,
+            on_batch=None) -> List[DepthStats]:
         max_depth = max_depth or self.config.max_depth
         use_incremental = self.config.engine == "incremental"
         for depth in range(start_depth, max_depth + 1):
@@ -540,14 +551,26 @@ class DiscoveryEngine:
                     self._ingest(group, evals, depth, st, on_row,
                                  out_s, out_f)
             elif use_incremental:
-                for op_name, a_u, b_u in \
-                        self.enumerator.vector_batches_at_depth(
-                            depth, self.config.batch_size):
+                gen = self.enumerator.vector_batches_at_depth(
+                    depth, self.config.batch_size)
+                while True:
+                    te = time.perf_counter()
+                    item = next(gen, None)
+                    st.t_enum += time.perf_counter() - te
+                    if item is None:
+                        break
+                    op_name, a_u, b_u = item
                     if a_u.size == 0:
                         continue
+                    td = time.perf_counter()
                     sr, out_s, out_f = self._eval_op_idx(op_name, a_u, b_u)
+                    st.t_device += time.perf_counter() - td
+                    ti = time.perf_counter()
                     self._ingest_vec(op_name, a_u, b_u, sr, depth, st,
                                      on_row, out_s, out_f)
+                    st.t_ingest += time.perf_counter() - ti
+                    if on_batch is not None:
+                        on_batch(st)
             else:
                 buf: List[Candidate] = []
 
@@ -564,7 +587,9 @@ class DiscoveryEngine:
                         buf = []
                 if buf:
                     flush(buf)
+            tg = time.perf_counter()
             self._flush_gray(depth, st, on_row)
+            st.t_gray = time.perf_counter() - tg
             st.seconds = time.perf_counter() - t0
             self.stats.append(st)
             if on_depth is not None:

@@ -65,6 +65,26 @@ class DiscoveryRun:
         def on_row(row: Row):
             self.db.add_row(row)
 
+        last_beat = [0.0]
+
+        def on_batch(st):
+            # throttled heartbeat (the reference refreshed run_metadata at
+            # ~1 Hz from its writer process, general:1206-1218)
+            now = time.time()
+            if now - last_beat[0] < 2.0:
+                return
+            last_beat[0] = now
+            self.db.flush()
+            snippet = (self.engine.rows[-1].expression
+                       if self.engine.rows else "")
+            self.db.update_metadata(
+                sum(s.candidates for s in self.engine.stats) + st.candidates,
+                self.engine.enumerator.count_uniques(),
+                len(self.engine.valid_rows))
+            self.db.worker_heartbeat(os.getpid(), "device",
+                                     self.engine.candidates_screened,
+                                     snippet=snippet)
+
         def on_depth(st):
             self.db.flush()
             counts = {
@@ -84,16 +104,26 @@ class DiscoveryRun:
             rate = (st.candidates / st.seconds) if st.seconds > 0 else 0
             self._log(f"  depth {st.depth}: {st.candidates} candidates, "
                       f"{st.unique} unique, {st.valid} valid "
-                      f"[{st.seconds:.1f}s, {rate:,.0f} cand/s]")
+                      f"[{st.seconds:.1f}s, {rate:,.0f} cand/s | "
+                      f"enum {st.t_enum:.1f} dev {st.t_device:.1f} "
+                      f"ingest {st.t_ingest:.1f} gray {st.t_gray:.1f}]")
 
+        monitor = None
+        if self.verbose:
+            from .utils.monitor import Monitor
+            monitor = Monitor(self.db_path, self.run_id, interval=5.0,
+                              printer=lambda s: self._log(s)).start()
         try:
             self.engine.run(max_depth, on_row=on_row, on_depth=on_depth,
-                            start_depth=start_depth)
+                            start_depth=start_depth, on_batch=on_batch)
         except KeyboardInterrupt:
             self.db.complete_run("aborted")
             self._log("Aborted; partial results saved "
                       f"(resume with --resume-run {self.run_id})")
             raise
+        finally:
+            if monitor:
+                monitor.stop()
         self.db.flush()
 
         report = build_report(

@@ -1,0 +1,116 @@
+"""Incremental-engine internals: jet-space op application must agree with
+tape interpretation, and the vectorized enumerator must produce the same
+candidate multiset as the object-based one."""
+
+import numpy as np
+import pytest
+
+from pde_engine_tpu.enumerator import Enumerator
+from pde_engine_tpu.models import load_problem
+from pde_engine_tpu.ops import optable as ot
+from pde_engine_tpu.ops.interpreter import eval_jets_np, eval_jets_np_many
+from pde_engine_tpu.ops.jetops import apply_surface_op
+from pde_engine_tpu.ops.tape import ConstTable, apply_binary, apply_unary, leaf_var
+
+
+POINTS = np.array([[0.8, 0.857], [0.45, 0.31], [1.25, 0.55]])
+
+
+@pytest.mark.parametrize("op_name", list(ot.UNARY_OPS) + list(ot.ALL_BINARY_OPS))
+@pytest.mark.parametrize("order", [1, 2, 4])
+def test_jetops_match_tape_interpreter(op_name, order):
+    """apply_surface_op(jets(a), jets(b)) == jets(op(a, b)) for operands
+    with nontrivial derivatives."""
+    import sympy as sp
+    consts = ConstTable()
+    rho, z = sp.symbols("rho z", positive=True)
+    from pde_engine_tpu.ops.tape import from_sympy
+    ta = from_sympy(rho**2 + z, consts, (rho, z))
+    tb = from_sympy(rho * z + sp.Rational(1, 3), consts, (rho, z))
+
+    ja = eval_jets_np(ta.rows, len(ta), consts.as_array(), POINTS, order)
+    jb = eval_jets_np(tb.rows, len(tb), consts.as_array(), POINTS, order)
+
+    op = ot.ALL_SURFACE_OPS[op_name]
+    if op.arity == 1:
+        tc = apply_unary(op, ta, consts)
+        got = apply_surface_op(op_name, ja, None, order, np)
+    else:
+        tc = apply_binary(op, ta, tb, consts)
+        got = apply_surface_op(op_name, ja, jb, order, np)
+    want = eval_jets_np(tc.rows, len(tc), consts.as_array(), POINTS, order)
+    mask = np.isfinite(want)
+    assert (np.isfinite(got) == mask).all(), op_name
+    scale = np.maximum(np.abs(want[mask]), 1.0)
+    np.testing.assert_allclose(got[mask] / scale, want[mask] / scale,
+                               rtol=0, atol=1e-12, err_msg=op_name)
+
+
+def test_batched_np_interpreter_matches_single():
+    p = load_problem("force_free")
+    exprs = list(p.known_solutions) + ["rho*z", "rho / (1 - z)",
+                                       "exp_neg((z + z))"]
+    tapes = [p.parse(s) for s in exprs]
+    L = max(len(t) for t in tapes)
+    batch = np.stack([t.padded(L) for t in tapes])
+    lengths = np.array([len(t) for t in tapes])
+    consts = p.consts.as_array()
+    got = eval_jets_np_many(batch, lengths, consts, POINTS, 4)
+    for i, t in enumerate(tapes):
+        want = eval_jets_np(t.rows, len(t), consts, POINTS, 4)
+        np.testing.assert_allclose(got[i], want, rtol=1e-12, atol=0,
+                                   err_msg=exprs[i])
+
+
+def test_vector_enumerator_matches_object_enumerator():
+    """Same candidate multiset {(op, a, b)} from both generation paths."""
+    p = load_problem("force_free")
+    enum = Enumerator(p, include_special_ops=True, prune=True)
+    for c in enum.primitive_candidates():
+        enum.add_unique(c)
+    # fabricate a depth-2 unique layer by structural identity (no device):
+    seen = set()
+    for cand in enum.candidates_at_depth(2):
+        key = (cand.op_name, cand.a.uid,
+               cand.b.uid if cand.b is not None else -1)
+        seen.add(key)
+        enum.add_unique(cand)
+
+    obj = set()
+    enum2 = Enumerator(p, include_special_ops=True, prune=True)
+    for c in enum2.primitive_candidates():
+        enum2.add_unique(c)
+    for cand in enum2.candidates_at_depth(2):
+        enum2.add_unique(cand)
+    for cand in enum2.candidates_at_depth(3):
+        a, b = cand.a.uid, (cand.b.uid if cand.b is not None else -1)
+        obj.add((cand.op_name, a, b))
+
+    enum3 = Enumerator(p, include_special_ops=True, prune=True)
+    for c in enum3.primitive_candidates():
+        enum3.add_unique(c)
+    for cand in enum3.candidates_at_depth(2):
+        enum3.add_unique(cand)
+    vec = set()
+    for op_name, a_u, b_u in enum3.vector_batches_at_depth(3, 1000):
+        if b_u is None:
+            for a in a_u.tolist():
+                vec.add((op_name, a, -1))
+        else:
+            for a, b in zip(a_u.tolist(), b_u.tolist()):
+                vec.add((op_name, a, b))
+
+    assert obj == vec
+
+
+def test_vector_enumerator_counts_depth2():
+    p = load_problem("force_free")
+    enum = Enumerator(p, include_special_ops=True, prune=True)
+    for c in enum.primitive_candidates():
+        enum.add_unique(c)
+    n_obj = sum(1 for _ in enum.candidates_at_depth(2))
+    enum2 = Enumerator(p, include_special_ops=True, prune=True)
+    for c in enum2.primitive_candidates():
+        enum2.add_unique(c)
+    n_vec = sum(a.size for _, a, _ in enum2.vector_batches_at_depth(2, 4096))
+    assert n_obj == n_vec

@@ -135,6 +135,21 @@ def test_kerr_monopole_anchor_semantics():
     assert not p.is_monopole_extension(1 + x)
 
 
+def test_underflow_is_not_a_solution():
+    """exp(-(1-x)*e^(r^2+a^2x^2)) underflows residual AND scale to exact 0
+    at every collocation point — it must NOT screen as valid (the float-
+    underflow analog of the reference's NaN false positives)."""
+    from pde_engine_tpu.parallel.search import SCALE_FLOOR
+    p = load_problem("kerr")
+    res, scale = np_residual(p, "exp_neg(exp_mul(1 - x, a**2*x**2 + r**2))")
+    # every point is blind (scale below the underflow floor)
+    assert (scale <= SCALE_FLOOR).any()
+    # and the screen rule must therefore reject it
+    ok = (np.isfinite(res).all() and np.isfinite(scale).all()
+          and (scale > SCALE_FLOOR).all())
+    assert not ok
+
+
 @pytest.mark.parametrize("slug,exprs", [
     ("laplace", list(load_problem("laplace").known_solutions)),
     ("grad_shafranov", list(load_problem("grad_shafranov").known_solutions)),
