@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--audit-kerr", action="store_true")
     p.add_argument("--heavy-validate", action="store_true",
                    help="Run heavy checks over stored rows (post-hoc)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of the run into DIR "
+                        "(view with TensorBoard / xprof)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax_debug_nans (sanitizer mode; NaNs in "
+                        "device computation raise immediately — note the "
+                        "screen INTENTIONALLY produces NaNs for domain "
+                        "violations, so this is for kernel debugging only)")
     return p
 
 
@@ -152,8 +160,18 @@ def main(argv=None) -> int:
         run.close()
         return 0
 
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
     run = make_run()
-    run.run(max_depth=args.max_depth)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            run.run(max_depth=args.max_depth)
+        print(f"Profiler trace written to {args.profile}")
+    else:
+        run.run(max_depth=args.max_depth)
     run.close()
     return 0
 

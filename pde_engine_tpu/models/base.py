@@ -159,6 +159,17 @@ class Problem:
         os.makedirs(self.output_root, exist_ok=True)
         return self.output_root
 
+    @property
+    def validator(self):
+        """Single-expression validator with the reference's interface
+        (problems/__init__.py:52) — see pde_engine_tpu/validator.py."""
+        v = getattr(self, "_validator", None)
+        if v is None:
+            from ..validator import ExpressionValidator
+            v = ExpressionValidator(self)
+            self._validator = v
+        return v
+
     # convenience ------------------------------------------------------
     def known_solution_tapes(self) -> Dict[str, Tape]:
         return {s: self.parse(s) for s in self.known_solutions}

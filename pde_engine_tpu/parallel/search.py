@@ -65,6 +65,29 @@ def _fold_hash(keys, mult: int, seed: int):
 
 
 SCALE_FLOOR = 1e-25  # f32 near-underflow: below this a point is blind
+JET_TINY = 1e-20     # healthy jet coefficients are exactly 0 or above this
+
+
+def informative_points(res, scale, jets, xp):
+    """Which collocation points give a trustworthy verdict.
+
+    Two failure modes must be told apart:
+    - *underflow garbage* (e.g. exp(-(1-x)*e^(r^2))): residual AND scale
+      underflow to (near-)zero — the float-underflow analog of the
+      reference's treat-NaN-as-zero defect (SURVEY.md §4).  Reject.
+    - *structural zeros* (e.g. u = rho^2, or any u(rho) alone): the Lie
+      terms vanish identically through exact-zero arithmetic, so scale is
+      exactly 0 while the expression's own jet is perfectly healthy.
+      Accept — the determinant is genuinely degenerate-zero there.
+
+    A zero-scale point is informative only when the residual is exactly 0
+    and every jet coefficient at the point is exactly 0 or of sane
+    magnitude (and not all zero)."""
+    abs_j = xp.abs(jets)
+    coeff_ok = (abs_j == 0.0) | (abs_j > JET_TINY)
+    healthy = xp.all(coeff_ok, axis=-1) & ~xp.all(abs_j == 0.0, axis=-1)
+    structural = (scale == 0.0) & (res == 0.0) & healthy
+    return (scale > SCALE_FLOOR) | structural
 
 
 def verdicts_from_jets(jets, fj, spoints, residual_fn,
@@ -72,19 +95,12 @@ def verdicts_from_jets(jets, fj, spoints, residual_fn,
     """Shared verdict block: residual screen + fingerprint + constant
     detection, given screen-order jets [N,P,T] and order-1 fingerprint jets
     [N,F,3].  Used by both the tape-interpreting kernel and the
-    incremental per-op kernels.
-
-    A point only counts as a pass when the magnitude bound is above an
-    underflow floor: expressions like exp(-(1-x)*e^(r^2)) underflow residual
-    AND scale to exact zero at every point, which would otherwise read as a
-    perfect solution — the float-underflow analog of the reference's
-    treat-NaN-as-zero defect (SURVEY.md §4).  Genuinely constant
-    expressions are excluded separately via the exact-zero gradient."""
+    incremental per-op kernels."""
     res, scale = residual_fn(jets, spoints, jnp)          # [N,P]
     eps = jnp.asarray(1e-30, res.dtype)
     rel = jnp.abs(res) / (scale + eps)
     finite = jnp.isfinite(res) & jnp.isfinite(scale)
-    informative = scale > SCALE_FLOOR
+    informative = informative_points(res, scale, jets, jnp)
     nonfinite_any = jnp.any(~finite, axis=-1)
     rel_max = jnp.max(jnp.where(finite, rel, jnp.inf), axis=-1)
     screen_ok = (~nonfinite_any) & (rel_max < screen_rtol) \

@@ -286,9 +286,9 @@ class DiscoveryEngine:
             jets, self.problem.screen_points, np)
         with np.errstate(invalid="ignore"):
             rel = np.abs(res) / (scale + 1e-300)
-        from .parallel.search import SCALE_FLOOR
+        from .parallel.search import informative_points
         if not (np.isfinite(res).all() and np.isfinite(scale).all()
-                and (scale > SCALE_FLOOR).all()):
+                and informative_points(res, scale, jets, np).all()):
             return False, float("inf")
         return bool(rel.max() < self.confirm_rtol), float(rel.max())
 
@@ -367,7 +367,7 @@ class DiscoveryEngine:
     def _ingest_vec(self, op_name: str, a_u: np.ndarray,
                     b_u: Optional[np.ndarray], sr: ScreenResult,
                     depth: int, st: DepthStats, on_row=None,
-                    out_s=None, out_f=None):
+                    out_s=None, out_f=None, append_cache: bool = True):
         """Vectorized ingestion: per-candidate Python runs only for NEW
         uniques (dedup happens at array level)."""
         import jax.numpy as jnp
@@ -401,7 +401,7 @@ class DiscoveryEngine:
             st.unique += 1
             self._verdict(u, self._ev_at(sr, j), depth, st, on_row)
 
-        if out_s is not None and kept:
+        if out_s is not None and kept and append_cache:
             self._append_kept(out_s, out_f, kept)
 
     def _verdict(self, cand: Candidate, ev, depth: int, st: DepthStats,
@@ -492,9 +492,9 @@ class DiscoveryEngine:
             res, scale = self.problem.residual_fn(jets, pts, np)
             with np.errstate(invalid="ignore"):
                 rel = np.abs(res) / (scale + 1e-300)
-            from .parallel.search import SCALE_FLOOR
+            from .parallel.search import informative_points
             finite = (np.isfinite(res) & np.isfinite(scale)).all(axis=-1) \
-                & (scale > SCALE_FLOOR).all(axis=-1)
+                & informative_points(res, scale, jets, np).all(axis=-1)
             relmax = np.where(finite, rel.max(axis=-1), np.inf)
             for j, (cand, ev) in enumerate(part):
                 if finite[j] and relmax[j] < self.confirm_rtol:
@@ -566,8 +566,12 @@ class DiscoveryEngine:
                     sr, out_s, out_f = self._eval_op_idx(op_name, a_u, b_u)
                     st.t_device += time.perf_counter() - td
                     ti = time.perf_counter()
+                    # jets at the final depth never feed another level —
+                    # skipping the cache append removes the HBM ceiling on
+                    # mega-runs (the last depth dominates the unique count)
                     self._ingest_vec(op_name, a_u, b_u, sr, depth, st,
-                                     on_row, out_s, out_f)
+                                     on_row, out_s, out_f,
+                                     append_cache=(depth < max_depth))
                     st.t_ingest += time.perf_counter() - ti
                     if on_batch is not None:
                         on_batch(st)
