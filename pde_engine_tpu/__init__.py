@@ -9,3 +9,9 @@ with numeric-fingerprint dedup and mesh-sharded search.
 """
 
 __version__ = "0.1.0"
+
+
+def load_problem(name: str):
+    """Top-level convenience (the reference exposes problems.load_problem)."""
+    from .models import load_problem as _lp
+    return _lp(name)

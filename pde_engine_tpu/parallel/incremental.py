@@ -26,7 +26,7 @@ import numpy as np
 from ..ops.jetops import apply_surface_op
 from ..ops.jets import n_coeffs
 from .search import (ScreenResult, _RESIDUALS, _fold_hash, _quantize,
-                     verdicts_from_jets)
+                     pack_screen_result, verdicts_from_jets)
 
 
 class JetCache:
@@ -104,7 +104,8 @@ def make_op_kernel(op_name: str, order: int, residual_key: str,
 
         sr = verdicts_from_jets(out_s, out_f, spoints, residual_fn,
                                 screen_rtol)
-        return (sr, out_s.reshape(out_s.shape[0], -1),
+        return (pack_screen_result(sr),
+                out_s.reshape(out_s.shape[0], -1),
                 out_f.reshape(out_f.shape[0], -1))
 
     return jax.jit(kernel)

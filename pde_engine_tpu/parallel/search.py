@@ -144,12 +144,91 @@ def make_search_kernel_raw(order: int, max_nodes: int, residual_key: str,
     return kernel
 
 
+N_PACK_HEAD = 7
+
+
+def pack_screen_result(sr: ScreenResult):
+    """Pack the verdict columns into ONE f32 array [N, 7 + F*3].
+
+    Device→host transfers through the axon tunnel cost ~30 ms of latency
+    *per array* regardless of size; transferring the ScreenResult's seven
+    leaves separately dominated the batch loop.  Hash columns are bitcast
+    so they survive the f32 carrier exactly."""
+    cols = [sr.screen_ok.astype(jnp.float32),
+            sr.rel_max.astype(jnp.float32),
+            sr.nonfinite.astype(jnp.float32),
+            sr.is_const.astype(jnp.float32),
+            jax.lax.bitcast_convert_type(sr.fp_a, jnp.float32),
+            jax.lax.bitcast_convert_type(sr.fp_b, jnp.float32),
+            sr.fp_finite.astype(jnp.float32)]
+    return jnp.concatenate(
+        [jnp.stack(cols, axis=1), sr.fp_vals.astype(jnp.float32)], axis=1)
+
+
+def unpack_screen_result(packed: np.ndarray) -> ScreenResult:
+    """Host-side inverse of pack_screen_result (numpy arrays)."""
+    packed = np.ascontiguousarray(packed, dtype=np.float32)
+    return ScreenResult(
+        screen_ok=packed[:, 0] != 0,
+        rel_max=packed[:, 1],
+        nonfinite=packed[:, 2] != 0,
+        is_const=packed[:, 3] != 0,
+        fp_a=np.ascontiguousarray(packed[:, 4]).view(np.uint32),
+        fp_b=np.ascontiguousarray(packed[:, 5]).view(np.uint32),
+        fp_finite=packed[:, 6] != 0,
+        fp_vals=packed[:, N_PACK_HEAD:],
+    )
+
+
+def verdicts_from_jets_np(jets, fj, spoints, residual_fn,
+                          screen_rtol: float) -> ScreenResult:
+    """NumPy port of verdicts_from_jets (same rules, float64 arithmetic,
+    f32-quantized fingerprints).  Used for the handful of tape-evaluated
+    expressions (primitives, known solutions, resume seeding) — the full
+    tape-interpreting device kernel takes ~10 minutes to compile on the
+    remote TPU toolchain and is pointless for a dozen expressions.
+
+    Fingerprint hashes are tolerance-compatible with the device path (the
+    same quantization absorbs float64-vs-float32 evaluation differences the
+    way it absorbs different-tape-same-function differences)."""
+    res, scale = residual_fn(jets, spoints, np)
+    with np.errstate(all="ignore"):
+        rel = np.abs(res) / (scale + 1e-300)
+        finite = np.isfinite(res) & np.isfinite(scale)
+        informative = informative_points(res, scale, jets, np)
+        nonfinite_any = np.any(~finite, axis=-1)
+        rel_max = np.max(np.where(finite, rel, np.inf), axis=-1)
+        screen_ok = ((~nonfinite_any) & (rel_max < screen_rtol)
+                     & np.all(informative, axis=-1))
+
+        flat = fj.reshape(fj.shape[0], -1).astype(np.float32)
+        fp_finite = np.all(np.isfinite(flat), axis=-1)
+        v = np.where(np.isfinite(flat), flat, _SENTINEL)
+        m, e = np.frexp(v)
+        q = np.round(m * 4096.0).astype(np.int32)
+        keys = q * 1024 + np.clip(e, -500, 500)
+        h_a = np.full(keys.shape[:-1], 0x811C9DC5, np.uint32)
+        h_b = np.full(keys.shape[:-1], 0xC2B2AE35, np.uint32)
+        for k in range(keys.shape[-1]):
+            kk = keys[..., k].astype(np.uint32)
+            h_a = (h_a * np.uint32(0x01000193)) ^ kk
+            h_b = (h_b * np.uint32(0x85EBCA6B)) ^ kk
+
+        grads = np.abs(fj[..., 1:])
+        grad_max = np.max(grads.reshape(fj.shape[0], -1), axis=-1)
+        val_ok = np.all(np.isfinite(fj[..., 0]), axis=-1)
+        is_const = (grad_max == 0.0) & val_ok
+
+    return ScreenResult(screen_ok, rel_max.astype(np.float32),
+                        nonfinite_any, is_const, h_a, h_b, fp_finite, flat)
+
+
 @functools.lru_cache(maxsize=None)
 def make_tape_jets_kernel(order: int, max_nodes: int, residual_key: str,
                           screen_rtol: float, n_screen: int, n_fp: int):
-    """Like make_search_kernel but also returns the flattened screen/fp
-    jets, so evaluated uniques can seed the incremental engine's JetCache
-    (depth-1 primitives, resume reconstruction)."""
+    """Like make_search_kernel but returns a packed verdict array plus the
+    flattened screen/fp jets, so evaluated uniques can seed the incremental
+    engine's JetCache (depth-1 primitives, resume reconstruction)."""
     residual_fn = _RESIDUALS[residual_key]
     eval_r = batched_evaluator(order, max_nodes)
     eval_1 = batched_evaluator(1, max_nodes)
@@ -158,7 +237,7 @@ def make_tape_jets_kernel(order: int, max_nodes: int, residual_key: str,
         jets = eval_r(tapes, lengths, consts, spoints)
         fj = eval_1(tapes, lengths, consts, fpoints)
         sr = verdicts_from_jets(jets, fj, spoints, residual_fn, screen_rtol)
-        return (sr, jets.reshape(jets.shape[0], -1),
+        return (pack_screen_result(sr), jets.reshape(jets.shape[0], -1),
                 fj.reshape(fj.shape[0], -1))
 
     return jax.jit(kernel)

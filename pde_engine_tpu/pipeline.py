@@ -42,7 +42,8 @@ from .models.base import Problem
 from .ops.interpreter import eval_jets_np
 from .ops.jets import n_coeffs
 from .parallel.incremental import JetCache, make_op_kernel, make_select_kernel
-from .parallel.search import ScreenResult, make_tape_jets_kernel
+from .parallel.search import (ScreenResult, make_tape_jets_kernel,
+                              unpack_screen_result)
 from .utils.config import SearchConfig
 
 
@@ -148,24 +149,36 @@ class DiscoveryEngine:
             n_fp=len(self.problem.fingerprint_points))
 
     def _eval_tape_groups(self, cands: List[Candidate]):
-        """Evaluate arbitrary tapes (bucketed by length).  Yields
-        (group_cands, evals, out_s, out_f) per bucket group."""
-        import jax
+        """Evaluate arbitrary tapes via the batched NumPy oracle (this path
+        only sees a handful of expressions — primitives, known solutions,
+        resume seeding — and the tape-interpreting device kernel costs
+        ~10 min of remote compile).  Yields (group, sr, out_s, out_f) with
+        the jets as float32 device arrays ready for the cache."""
         import jax.numpy as jnp
+        from .ops.interpreter import eval_jets_np_many
+        from .parallel.search import verdicts_from_jets_np
 
         groups: Dict[int, List[int]] = {}
         for i, c in enumerate(cands):
             groups.setdefault(self._bucket_len(len(c.tape)), []).append(i)
-        consts = jnp.asarray(self.problem.consts.as_array(np.float32))
+        consts = self.problem.consts.as_array(np.float64)
         for bucket, idxs in sorted(groups.items()):
             group = [cands[i] for i in idxs]
             tapes = np.stack([c.tape.padded(bucket) for c in group])
-            lengths = np.array([len(c.tape) for c in group], dtype=np.int32)
+            lengths = np.array([len(c.tape) for c in group], dtype=np.int64)
             t0 = time.perf_counter()
-            sr, out_s, out_f = self._tape_kernel(bucket)(
-                jnp.asarray(tapes), jnp.asarray(lengths), consts,
-                self._spoints, self._fpoints)
-            sr = jax.tree.map(np.asarray, sr)
+            jets = eval_jets_np_many(tapes, lengths, consts,
+                                     self.problem.screen_points,
+                                     self.problem.residual_order)
+            fj = eval_jets_np_many(tapes, lengths, consts,
+                                   self.problem.fingerprint_points, 1)
+            sr = verdicts_from_jets_np(jets, fj, self.problem.screen_points,
+                                       self.problem.residual_fn,
+                                       float(self.screen_rtol))
+            out_s = jnp.asarray(
+                jets.reshape(jets.shape[0], -1).astype(np.float32))
+            out_f = jnp.asarray(
+                fj.reshape(fj.shape[0], -1).astype(np.float32))
             self.device_seconds += time.perf_counter() - t0
             self.candidates_screened += len(group)
             yield group, sr, out_s, out_f
@@ -209,14 +222,15 @@ class DiscoveryEngine:
             sh = shard_batch(self.mesh)
             a_d = jax.device_put(a_d, sh)
             b_d = jax.device_put(b_d, sh)
-        sr, out_s, out_f = self._op_kernel(op_name)(
+        packed, out_s, out_f = self._op_kernel(op_name)(
             self.cache.screen, self.cache.fp, a_d, b_d,
             self._spoints, self._fpoints)
-        import jax
-        sr = jax.tree.map(np.asarray, sr)
         self.device_seconds += time.perf_counter() - t0
         self.candidates_screened += n
-        return sr, out_s, out_f
+        # NOTE: packed is still an in-flight device array — the caller
+        # unpacks (and thereby blocks) as late as possible so host work
+        # overlaps device execution
+        return packed, out_s, out_f
 
     @staticmethod
     def _ev_at(sr: ScreenResult, j: int):
@@ -551,8 +565,31 @@ class DiscoveryEngine:
                     self._ingest(group, evals, depth, st, on_row,
                                  out_s, out_f)
             elif use_incremental:
+                # software pipeline: batch k+1 is dispatched to the device
+                # before batch k's results are unpacked/ingested on the
+                # host, so device execution hides behind host work.  Safe:
+                # depth-d candidates only gather cache rows of depths < d,
+                # and appends during depth d are never read within it.
                 gen = self.enumerator.vector_batches_at_depth(
                     depth, self.config.batch_size)
+                pending = None
+
+                def drain(pending):
+                    (p_op, p_a, p_b, packed, out_s, out_f) = pending
+                    ti = time.perf_counter()
+                    sr = unpack_screen_result(np.asarray(packed))
+                    st.t_device += time.perf_counter() - ti
+                    ti = time.perf_counter()
+                    # jets at the final depth never feed another level —
+                    # skipping the cache append removes the HBM ceiling
+                    # on mega-runs
+                    self._ingest_vec(p_op, p_a, p_b, sr, depth, st,
+                                     on_row, out_s, out_f,
+                                     append_cache=(depth < max_depth))
+                    st.t_ingest += time.perf_counter() - ti
+                    if on_batch is not None:
+                        on_batch(st)
+
                 while True:
                     te = time.perf_counter()
                     item = next(gen, None)
@@ -563,18 +600,14 @@ class DiscoveryEngine:
                     if a_u.size == 0:
                         continue
                     td = time.perf_counter()
-                    sr, out_s, out_f = self._eval_op_idx(op_name, a_u, b_u)
+                    packed, out_s, out_f = self._eval_op_idx(
+                        op_name, a_u, b_u)
                     st.t_device += time.perf_counter() - td
-                    ti = time.perf_counter()
-                    # jets at the final depth never feed another level —
-                    # skipping the cache append removes the HBM ceiling on
-                    # mega-runs (the last depth dominates the unique count)
-                    self._ingest_vec(op_name, a_u, b_u, sr, depth, st,
-                                     on_row, out_s, out_f,
-                                     append_cache=(depth < max_depth))
-                    st.t_ingest += time.perf_counter() - ti
-                    if on_batch is not None:
-                        on_batch(st)
+                    if pending is not None:
+                        drain(pending)
+                    pending = (op_name, a_u, b_u, packed, out_s, out_f)
+                if pending is not None:
+                    drain(pending)
             else:
                 buf: List[Candidate] = []
 
