@@ -33,7 +33,7 @@ def main():
     from pde_engine_tpu.models import load_problem
     from pde_engine_tpu.ops.jets import n_coeffs
     from pde_engine_tpu.parallel.incremental import JetCache, make_op_kernel
-    from pde_engine_tpu.parallel.search import make_tape_jets_kernel
+    from pde_engine_tpu.parallel.search import unpack_screen_result
     from pde_engine_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -58,21 +58,20 @@ def main():
             n_screen=len(problem.screen_points),
             n_fp=len(problem.fingerprint_points))
 
-    # ---- seed: depth 1 via the tape interpreter ----
+    # ---- seed: depth 1 via the NumPy oracle ----
+    from pde_engine_tpu.ops.interpreter import eval_jets_np_many
     prims = enum.primitive_candidates()
-    tk = make_tape_jets_kernel(problem.residual_order, 16,
-                               problem.get_residual_key(),
-                               float(problem.screen_rtol),
-                               len(problem.screen_points),
-                               len(problem.fingerprint_points))
     tapes = np.stack([c.tape.padded(16) for c in prims])
-    lengths = np.array([len(c.tape) for c in prims], np.int32)
-    sr, out_s, out_f = tk(jnp.asarray(tapes), jnp.asarray(lengths),
-                          jnp.asarray(problem.consts.as_array(np.float32)),
-                          spoints, fpoints)
+    lengths = np.array([len(c.tape) for c in prims], np.int64)
+    consts64 = problem.consts.as_array(np.float64)
+    jets = eval_jets_np_many(tapes, lengths, consts64,
+                             problem.screen_points, problem.residual_order)
+    fj = eval_jets_np_many(tapes, lengths, consts64,
+                           problem.fingerprint_points, 1)
     for c in prims:
         enum.add_unique(c)
-    cache.append(out_s, out_f)
+    cache.append(jnp.asarray(jets.reshape(len(prims), -1).astype(np.float32)),
+                 jnp.asarray(fj.reshape(len(prims), -1).astype(np.float32)))
 
     # ---- seed: depths 2..seed_depth via the incremental path + dedup ----
     seen = set()
@@ -83,10 +82,10 @@ def main():
             b = jnp.asarray(np.fromiter(
                 (c.b.uid if c.b is not None else 0 for c in batch),
                 np.int32, len(batch)))
-            sr, out_s, out_f = op_kernel(op_name)(
+            packed, out_s, out_f = op_kernel(op_name)(
                 cache.screen, cache.fp, a, b, spoints, fpoints)
-            fpa = np.asarray(sr.fp_a)
-            fpb = np.asarray(sr.fp_b)
+            sr = unpack_screen_result(np.asarray(packed))
+            fpa, fpb = sr.fp_a, sr.fp_b
             keep = []
             for j, c in enumerate(batch):
                 key = (int(fpa[j]), int(fpb[j]))
@@ -118,16 +117,16 @@ def main():
 
     # warm-up (compile every (op, shape) variant outside the timing)
     for op_name, n, a, b in batches:
-        sr, _, _ = op_kernel(op_name)(cache.screen, cache.fp, a, b,
-                                      spoints, fpoints)
-        _ = np.asarray(sr.rel_max)
+        packed, _, _ = op_kernel(op_name)(cache.screen, cache.fp, a, b,
+                                          spoints, fpoints)
+        _ = np.asarray(packed[:2, 0])
 
     total = 0
     t0 = time.perf_counter()
     for op_name, n, a, b in batches:
-        sr, out_s, out_f = op_kernel(op_name)(
+        packed, out_s, out_f = op_kernel(op_name)(
             cache.screen, cache.fp, a, b, spoints, fpoints)
-        _ = np.asarray(sr.rel_max)       # host fence
+        _ = np.asarray(packed[:2, 0])    # host fence
         total += n
     dt = time.perf_counter() - t0
 

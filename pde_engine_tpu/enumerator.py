@@ -70,7 +70,7 @@ class Candidate:
     ``op(a, b)`` over parent uniques; the tape materializes on demand."""
 
     __slots__ = ("op_name", "a", "b", "depth", "expr_str", "top_op",
-                 "has_var", "is_one", "_tape", "_consts")
+                 "has_var", "is_one", "_tape", "_consts", "_wrapped")
 
     def __init__(self, depth: int, expr_str: str, top_op: str,
                  has_var: bool, is_one: bool = False,
@@ -87,6 +87,15 @@ class Candidate:
         self.b = b
         self._tape = tape
         self._consts = consts
+        self._wrapped = None
+
+    @property
+    def wrapped(self) -> str:
+        """Memoized wrap_operand(expr_str) — parents are reused by many
+        children, and the parenthesization scan is O(len(str))."""
+        if self._wrapped is None:
+            self._wrapped = wrap_operand(self.expr_str)
+        return self._wrapped
 
     @property
     def tape(self) -> Tape:
@@ -175,8 +184,7 @@ class Enumerator:
         else:
             fmt = ot.SURFACE_FORMAT.get(op_name)
             if fmt:
-                s = fmt.format(a=wrap_operand(a.expr_str),
-                               b=wrap_operand(b.expr_str))
+                s = fmt.format(a=a.wrapped, b=b.wrapped)
             else:
                 s = f"{op_name}({a.expr_str}, {b.expr_str})"
             has_var = a.has_var or b.has_var
@@ -196,10 +204,14 @@ class Enumerator:
         self._cap = new_cap
 
     def _is_coordinate_like(self, u: Unique) -> bool:
-        v0, v1 = self.problem.var_names
-        return u.expr_str in (v0, v1, f"({v0} + {v1})", f"({v0} - {v1})",
-                              f"({v1} - {v0})",
-                              f"{v0} + {v1}", f"{v0} - {v1}", f"{v1} - {v0}")
+        cs = getattr(self, "_coord_strs", None)
+        if cs is None:
+            v0, v1 = self.problem.var_names
+            cs = frozenset((v0, v1, f"({v0} + {v1})", f"({v0} - {v1})",
+                            f"({v1} - {v0})", f"{v0} + {v1}",
+                            f"{v0} - {v1}", f"{v1} - {v0}"))
+            self._coord_strs = cs
+        return u.expr_str in cs
 
     # ------------------------------------------------------------------
     def candidates_at_depth(self, depth: int) -> Iterator[Candidate]:
@@ -266,8 +278,7 @@ class Enumerator:
                         seen.add(key)
                         fmt = ot.SURFACE_FORMAT.get(name)
                         if fmt:
-                            s = fmt.format(a=wrap_operand(a.expr_str),
-                                           b=wrap_operand(b.expr_str))
+                            s = fmt.format(a=a.wrapped, b=b.wrapped)
                         else:
                             s = f"{name}({a.expr_str}, {b.expr_str})"
                         yield Candidate(depth=depth, expr_str=s,

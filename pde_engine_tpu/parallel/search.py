@@ -144,22 +144,28 @@ def make_search_kernel_raw(order: int, max_nodes: int, residual_key: str,
     return kernel
 
 
-N_PACK_HEAD = 7
+N_PACK_HEAD = 9
 
 
 def pack_screen_result(sr: ScreenResult):
-    """Pack the verdict columns into ONE f32 array [N, 7 + F*3].
+    """Pack the verdict columns into ONE f32 array [N, 9 + F*3].
 
     Device→host transfers through the axon tunnel cost ~30 ms of latency
     *per array* regardless of size; transferring the ScreenResult's seven
-    leaves separately dominated the batch loop.  Hash columns are bitcast
-    so they survive the f32 carrier exactly."""
+    leaves separately dominated the batch loop.  Hash columns are split
+    into two exact 16-bit halves — a raw uint32→f32 bitcast would corrupt
+    hashes whose bit patterns are NaNs (canonicalized) or denormals
+    (flushed), silently merging distinct fingerprints."""
+    fa, fb = sr.fp_a, sr.fp_b
+    mask = jnp.uint32(0xFFFF)
     cols = [sr.screen_ok.astype(jnp.float32),
             sr.rel_max.astype(jnp.float32),
             sr.nonfinite.astype(jnp.float32),
             sr.is_const.astype(jnp.float32),
-            jax.lax.bitcast_convert_type(sr.fp_a, jnp.float32),
-            jax.lax.bitcast_convert_type(sr.fp_b, jnp.float32),
+            (fa >> 16).astype(jnp.float32),
+            (fa & mask).astype(jnp.float32),
+            (fb >> 16).astype(jnp.float32),
+            (fb & mask).astype(jnp.float32),
             sr.fp_finite.astype(jnp.float32)]
     return jnp.concatenate(
         [jnp.stack(cols, axis=1), sr.fp_vals.astype(jnp.float32)], axis=1)
@@ -168,14 +174,19 @@ def pack_screen_result(sr: ScreenResult):
 def unpack_screen_result(packed: np.ndarray) -> ScreenResult:
     """Host-side inverse of pack_screen_result (numpy arrays)."""
     packed = np.ascontiguousarray(packed, dtype=np.float32)
+
+    def u32(hi, lo):
+        return ((hi.astype(np.uint32) << np.uint32(16))
+                | lo.astype(np.uint32))
+
     return ScreenResult(
         screen_ok=packed[:, 0] != 0,
         rel_max=packed[:, 1],
         nonfinite=packed[:, 2] != 0,
         is_const=packed[:, 3] != 0,
-        fp_a=np.ascontiguousarray(packed[:, 4]).view(np.uint32),
-        fp_b=np.ascontiguousarray(packed[:, 5]).view(np.uint32),
-        fp_finite=packed[:, 6] != 0,
+        fp_a=u32(packed[:, 4], packed[:, 5]),
+        fp_b=u32(packed[:, 6], packed[:, 7]),
+        fp_finite=packed[:, 8] != 0,
         fp_vals=packed[:, N_PACK_HEAD:],
     )
 

@@ -42,12 +42,11 @@ from .models.base import Problem
 from .ops.interpreter import eval_jets_np
 from .ops.jets import n_coeffs
 from .parallel.incremental import JetCache, make_op_kernel, make_select_kernel
-from .parallel.search import (ScreenResult, make_tape_jets_kernel,
-                              unpack_screen_result)
+from .parallel.search import ScreenResult, unpack_screen_result
 from .utils.config import SearchConfig
 
 
-@dataclass
+@dataclass(slots=True)
 class Row:
     """One stored expression — column parity with the reference's
     expressions_<run_id> table (general:655-678)."""
@@ -130,15 +129,6 @@ class DiscoveryEngine:
         raise ValueError(f"tape length {L} exceeds largest bucket "
                          f"{self.config.buckets[-1]}")
 
-    def _tape_kernel(self, bucket: int):
-        return make_tape_jets_kernel(
-            order=self.problem.residual_order,
-            max_nodes=bucket,
-            residual_key=self.problem.get_residual_key(),
-            screen_rtol=float(self.screen_rtol),
-            n_screen=len(self.problem.screen_points),
-            n_fp=len(self.problem.fingerprint_points))
-
     def _op_kernel(self, op_name: str):
         return make_op_kernel(
             op_name=op_name,
@@ -158,40 +148,32 @@ class DiscoveryEngine:
         from .ops.interpreter import eval_jets_np_many
         from .parallel.search import verdicts_from_jets_np
 
+        CHUNK = 4096  # bounds the float64 working set (resume can pass
+        #               hundreds of thousands of uniques through here)
         groups: Dict[int, List[int]] = {}
         for i, c in enumerate(cands):
             groups.setdefault(self._bucket_len(len(c.tape)), []).append(i)
         consts = self.problem.consts.as_array(np.float64)
         for bucket, idxs in sorted(groups.items()):
-            group = [cands[i] for i in idxs]
-            tapes = np.stack([c.tape.padded(bucket) for c in group])
-            lengths = np.array([len(c.tape) for c in group], dtype=np.int64)
-            t0 = time.perf_counter()
-            jets = eval_jets_np_many(tapes, lengths, consts,
-                                     self.problem.screen_points,
-                                     self.problem.residual_order)
-            fj = eval_jets_np_many(tapes, lengths, consts,
-                                   self.problem.fingerprint_points, 1)
-            sr = verdicts_from_jets_np(jets, fj, self.problem.screen_points,
-                                       self.problem.residual_fn,
-                                       float(self.screen_rtol))
-            out_s = jnp.asarray(
-                jets.reshape(jets.shape[0], -1).astype(np.float32))
-            out_f = jnp.asarray(
-                fj.reshape(fj.shape[0], -1).astype(np.float32))
-            self.device_seconds += time.perf_counter() - t0
-            self.candidates_screened += len(group)
-            yield group, sr, out_s, out_f
-
-    def _eval_op_batch(self, op_name: str, cands: List[Candidate]):
-        """Incremental path over Candidate objects (tape-engine compat)."""
-        n = len(cands)
-        a_idx = np.fromiter((c.a.uid for c in cands), np.int32, n)
-        if cands[0].b is not None:
-            b_idx = np.fromiter((c.b.uid for c in cands), np.int32, n)
-        else:
-            b_idx = np.zeros((n,), np.int32)
-        return self._eval_op_idx(op_name, a_idx, b_idx)
+            for lo in range(0, len(idxs), CHUNK):
+                group = [cands[i] for i in idxs[lo:lo + CHUNK]]
+                tapes = np.stack([c.tape.padded(bucket) for c in group])
+                lengths = np.array([len(c.tape) for c in group],
+                                   dtype=np.int64)
+                jets = eval_jets_np_many(tapes, lengths, consts,
+                                         self.problem.screen_points,
+                                         self.problem.residual_order)
+                fj = eval_jets_np_many(tapes, lengths, consts,
+                                       self.problem.fingerprint_points, 1)
+                sr = verdicts_from_jets_np(
+                    jets, fj, self.problem.screen_points,
+                    self.problem.residual_fn, float(self.screen_rtol))
+                out_s = jnp.asarray(
+                    jets.reshape(jets.shape[0], -1).astype(np.float32))
+                out_f = jnp.asarray(
+                    fj.reshape(fj.shape[0], -1).astype(np.float32))
+                self.candidates_screened += len(group)
+                yield group, sr, out_s, out_f
 
     def _eval_op_idx(self, op_name: str, a_idx: np.ndarray,
                      b_idx: Optional[np.ndarray]):
@@ -579,6 +561,7 @@ class DiscoveryEngine:
                     ti = time.perf_counter()
                     sr = unpack_screen_result(np.asarray(packed))
                     st.t_device += time.perf_counter() - ti
+                    self.device_seconds += time.perf_counter() - ti
                     ti = time.perf_counter()
                     # jets at the final depth never feed another level —
                     # skipping the cache append removes the HBM ceiling

@@ -1,11 +1,14 @@
 """Driver entry points: single-chip compile check and the multi-chip
 dry-run (8 virtual CPU devices) must keep working."""
 
+import os
 import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_entry_compiles_and_runs():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import jax
     import __graft_entry__ as g
 
@@ -19,7 +22,7 @@ def test_entry_compiles_and_runs():
 
 
 def test_dryrun_multichip_8():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

@@ -1,0 +1,43 @@
+"""pack/unpack round-trip of the verdict transfer — including hash bit
+patterns that a raw uint32→f32 bitcast would corrupt (NaN-space hashes get
+canonicalized, denormal-space hashes flushed), which silently merged
+distinct fingerprints."""
+
+import numpy as np
+
+from pde_engine_tpu.parallel.search import (N_PACK_HEAD, ScreenResult,
+                                            pack_screen_result,
+                                            unpack_screen_result)
+
+ADVERSARIAL = np.array([0x7FC00001, 0x7F800001, 0xFFC00000, 0x7FFFFFFF,
+                        0x00400000, 0x00000001, 0xFFFFFFFF, 0x00000000,
+                        0x811C9DC5, 0xDEADBEEF], dtype=np.uint32)
+
+
+def test_pack_roundtrip_exact():
+    import jax.numpy as jnp
+
+    n = ADVERSARIAL.size
+    rng = np.random.default_rng(1)
+    sr = ScreenResult(
+        screen_ok=jnp.asarray(rng.integers(0, 2, n).astype(bool)),
+        rel_max=jnp.asarray(
+            np.array([0.0, 1e-7, np.inf, 3.5] * 3)[:n].astype(np.float32)),
+        nonfinite=jnp.asarray(rng.integers(0, 2, n).astype(bool)),
+        is_const=jnp.asarray(rng.integers(0, 2, n).astype(bool)),
+        fp_a=jnp.asarray(ADVERSARIAL),
+        fp_b=jnp.asarray(ADVERSARIAL[::-1].copy()),
+        fp_finite=jnp.asarray(rng.integers(0, 2, n).astype(bool)),
+        fp_vals=jnp.asarray(rng.normal(size=(n, 18)).astype(np.float32)),
+    )
+    out = unpack_screen_result(np.asarray(pack_screen_result(sr)))
+    np.testing.assert_array_equal(out.fp_a, ADVERSARIAL)
+    np.testing.assert_array_equal(out.fp_b, ADVERSARIAL[::-1])
+    np.testing.assert_array_equal(out.screen_ok, np.asarray(sr.screen_ok))
+    np.testing.assert_array_equal(out.nonfinite, np.asarray(sr.nonfinite))
+    np.testing.assert_array_equal(out.is_const, np.asarray(sr.is_const))
+    np.testing.assert_array_equal(out.fp_finite, np.asarray(sr.fp_finite))
+    np.testing.assert_array_equal(out.rel_max, np.asarray(sr.rel_max))
+    np.testing.assert_array_equal(out.fp_vals, np.asarray(sr.fp_vals))
+    assert out.fp_vals.shape[1] + N_PACK_HEAD == \
+        np.asarray(pack_screen_result(sr)).shape[1]
