@@ -89,7 +89,11 @@ def make_op_kernel(op_name: str, order: int, residual_key: str,
     residual_fn = _RESIDUALS[residual_key]
     T = n_coeffs(order)
 
-    def kernel(cache_screen, cache_fp, a_idx, b_idx, spoints, fpoints):
+    def kernel(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        # ab_idx: int32[N, 2] — one combined upload (the tunnel charges
+        # ~90 ms per host->device transfer regardless of size)
+        a_idx = ab_idx[:, 0]
+        b_idx = ab_idx[:, 1]
         a_s = cache_screen[a_idx].reshape(-1, n_screen, T)
         a_f = cache_fp[a_idx].reshape(-1, n_fp, 3)
         if op_name in ("neg", "inv", "sqrt", "square", "pow_3_2",

@@ -186,26 +186,29 @@ class DiscoveryEngine:
         if b_idx is None:
             b_idx = np.zeros((n,), np.int32)
 
-        # pad to a power-of-two size so each op kernel compiles for only a
-        # handful of batch shapes (a fresh jit trace per exact size would
-        # dominate wall-clock)
-        npad = max(256, 1 << (n - 1).bit_length())
+        # quantize to TWO shapes per op (small / full batch): every
+        # distinct shape costs a fresh jit *trace* (~1 s for these kernels)
+        # even when the persistent cache already has the executable
+        small = 8192
+        npad = small if n <= small else self.config.batch_size
+        npad = max(npad, n)
         if self.mesh is not None:
             nd = self.mesh.devices.size
             npad = pad_to_multiple(max(npad, nd), nd)
-        if npad != n:
-            a_idx = np.pad(a_idx, (0, npad - n))
-            b_idx = np.pad(b_idx, (0, npad - n))
+
+        # one combined index upload — the tunnel charges ~90 ms per
+        # host->device transfer regardless of size
+        ab = np.zeros((npad, 2), np.int32)
+        ab[:n, 0] = a_idx
+        ab[:n, 1] = b_idx
 
         t0 = time.perf_counter()
-        a_d = jnp.asarray(a_idx)
-        b_d = jnp.asarray(b_idx)
+        ab_d = jnp.asarray(ab)
         if self.mesh is not None:
             sh = shard_batch(self.mesh)
-            a_d = jax.device_put(a_d, sh)
-            b_d = jax.device_put(b_d, sh)
+            ab_d = jax.device_put(ab_d, sh)
         packed, out_s, out_f = self._op_kernel(op_name)(
-            self.cache.screen, self.cache.fp, a_d, b_d,
+            self.cache.screen, self.cache.fp, ab_d,
             self._spoints, self._fpoints)
         self.device_seconds += time.perf_counter() - t0
         self.candidates_screened += n
