@@ -101,6 +101,11 @@ def main(argv=None) -> int:
         from .parallel.mesh import candidate_mesh
         mesh = candidate_mesh(args.devices)
 
+    if args.validators:
+        # reference compatibility knob; validation here is on-device
+        print(f"note: --validators {args.validators} ignored — validation "
+              "runs on-device (use --devices to shard across chips)")
+
     def _problem():
         if args.omega and args.problem.startswith("force"):
             from .models.force_free import ForceFreeProblem
@@ -119,7 +124,9 @@ def main(argv=None) -> int:
         from .models import load_problem as _lp
         from .utils.db import db_path_for
         from .utils.monitor import watch
-        _prob = _lp(args.problem)
+        _prob = _problem()
+        if isinstance(_prob, str):
+            _prob = _lp(_prob)
         db_path = args.db_path or db_path_for(_prob.get_output_dir(),
                                               args.watch_run)
         if not os.path.exists(db_path):
@@ -130,16 +137,21 @@ def main(argv=None) -> int:
 
     if args.print_run_id:
         # existence check BEFORE constructing the run — RunDB would
-        # otherwise create an empty database at the inferred path
+        # otherwise create an empty database at the inferred path.
+        # NOTE: _problem() (not args.problem) so --omega post-hoc audits
+        # (--verify-pde/--heavy-validate) use the rotating residual
+        # (ADVICE.md round 1, cli.py:142).
         from .models import load_problem as _lp
         from .utils.db import db_path_for
-        _prob = _lp(args.problem)
-        db_path = args.db_path or db_path_for(_prob.get_output_dir(),
+        prob = _problem()
+        if isinstance(prob, str):
+            prob = _lp(prob)
+        db_path = args.db_path or db_path_for(prob.get_output_dir(),
                                               args.print_run_id)
         if not os.path.exists(db_path):
             print(f"Database not found: {db_path}")
             return 1
-        run = DiscoveryRun(args.problem, config=config,
+        run = DiscoveryRun(prob, config=config,
                            run_id=args.print_run_id, db_path=db_path)
         run.print_report_from_db()
         if args.verify_pde:

@@ -78,13 +78,13 @@ class JetCache:
         self.n += adv
 
 
-@functools.lru_cache(maxsize=None)
-def make_op_kernel(op_name: str, order: int, residual_key: str,
-                   screen_rtol: float, n_screen: int, n_fp: int):
-    """Fused kernel for one surface op: gather operand jets from the cache,
-    apply the op at screen order and at fingerprint order, compute
-    residual verdicts + fingerprints.  Returns (ScreenResult, out_screen,
+def make_op_kernel_raw(op_name: str, order: int, residual_key: str,
+                       screen_rtol: float, n_screen: int, n_fp: int):
+    """Fused kernel body for one surface op: gather operand jets from the
+    cache, apply the op at screen order and at fingerprint order, compute
+    residual verdicts + fingerprints.  Returns (packed verdicts, out_screen,
     out_fp) — the out jets are appended to the cache for surviving uniques.
+    The raw function is what ``shard_map`` wraps for multi-chip runs.
     """
     residual_fn = _RESIDUALS[residual_key]
     T = n_coeffs(order)
@@ -112,7 +112,54 @@ def make_op_kernel(op_name: str, order: int, residual_key: str,
                 out_s.reshape(out_s.shape[0], -1),
                 out_f.reshape(out_f.shape[0], -1))
 
-    return jax.jit(kernel)
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def make_op_kernel(op_name: str, order: int, residual_key: str,
+                   screen_rtol: float, n_screen: int, n_fp: int):
+    """Jitted single-device op kernel (see make_op_kernel_raw)."""
+    return jax.jit(make_op_kernel_raw(op_name, order, residual_key,
+                                      screen_rtol, n_screen, n_fp))
+
+
+@functools.lru_cache(maxsize=None)
+def make_op_kernel_sharded(mesh, op_name: str, order: int,
+                           residual_key: str, screen_rtol: float,
+                           n_screen: int, n_fp: int):
+    """The flagship engine's multi-chip step: shard_map the fused op kernel
+    over the ``candidates`` mesh axis with a REPLICATED jet cache, and
+    reduce the survivor count across chips with a psum (rides ICI).
+
+    This is the production path's mesh story (SURVEY.md §2.3): the
+    candidate batch is split across chips, each chip gathers its operands
+    from its replica of the cache and screens its shard; outputs stay
+    sharded (the host unpacks per-shard verdicts), only the scalar
+    survivor count crosses chips.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import CANDIDATE_AXIS
+
+    raw = make_op_kernel_raw(op_name, order, residual_key, screen_rtol,
+                             n_screen, n_fp)
+
+    def step(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        packed, out_s, out_f = raw(cache_screen, cache_fp, ab_idx,
+                                   spoints, fpoints)
+        # packed[:, 0] is the screen_ok column (search.pack_screen_result)
+        n_pass = jax.lax.psum(jnp.sum(packed[:, 0].astype(jnp.int32)),
+                              CANDIDATE_AXIS)
+        return packed, out_s, out_f, n_pass
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(CANDIDATE_AXIS), P(), P()),
+        out_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+                   P(CANDIDATE_AXIS), P()),
+        check_rep=False)
+    return jax.jit(sharded)
 
 
 @functools.lru_cache(maxsize=None)

@@ -44,6 +44,8 @@ from .ops.jets import n_coeffs
 from .parallel.incremental import JetCache, make_op_kernel, make_select_kernel
 from .parallel.search import ScreenResult, unpack_screen_result
 from .utils.config import SearchConfig
+from .utils.hashing import (FP_MASK, STRUCT_TAG, op_salt, stable_hash64,
+                            struct_key_for_expr)
 
 
 @dataclass(slots=True)
@@ -63,6 +65,10 @@ class Row:
     paper_solution_name: Optional[str] = None
     heavy_is_valid: Optional[bool] = None
     heavy_reason: Optional[str] = None
+    # per-row audit trail (reference persisted an evidence JSON per
+    # expression, general:1330-1335, kerr validator.py:296-306)
+    validator_math: str = ""
+    validator_evidence: str = ""
 
 
 @dataclass
@@ -115,7 +121,10 @@ class DiscoveryEngine:
         self._known_sympy = {}
         self.candidates_screened = 0
         self.device_seconds = 0.0
-        self._gray: List[Tuple[Candidate, dict]] = []
+        self.errors = 0  # host-side validation errors (reference counted
+        #                  per-worker errors, general:1139-1151)
+        self._gray: List[Tuple[Candidate, dict, int]] = []
+        self._math_def = problem.describe().get("math_definition", "")
         self._prepare_known_solutions()
 
     # ------------------------------------------------------------------
@@ -126,10 +135,21 @@ class DiscoveryEngine:
         for b in self.config.buckets:
             if L <= b:
                 return b
-        raise ValueError(f"tape length {L} exceeds largest bucket "
-                         f"{self.config.buckets[-1]}")
+        # beyond the ladder (e.g. resume re-parsing a sympify-normalized
+        # mega-run expression): extend to the next power of two instead of
+        # crashing the resume (ADVICE.md round 1, runtime.py:226)
+        return 1 << (L - 1).bit_length()
 
     def _op_kernel(self, op_name: str):
+        if self.mesh is not None:
+            from .parallel.incremental import make_op_kernel_sharded
+            return make_op_kernel_sharded(
+                self.mesh, op_name,
+                order=self.problem.residual_order,
+                residual_key=self.problem.get_residual_key(),
+                screen_rtol=float(self.screen_rtol),
+                n_screen=len(self.problem.screen_points),
+                n_fp=len(self.problem.fingerprint_points))
         return make_op_kernel(
             op_name=op_name,
             order=self.problem.residual_order,
@@ -205,11 +225,17 @@ class DiscoveryEngine:
         t0 = time.perf_counter()
         ab_d = jnp.asarray(ab)
         if self.mesh is not None:
-            sh = shard_batch(self.mesh)
-            ab_d = jax.device_put(ab_d, sh)
-        packed, out_s, out_f = self._op_kernel(op_name)(
-            self.cache.screen, self.cache.fp, ab_d,
-            self._spoints, self._fpoints)
+            # explicit shard_map over the candidates axis (replicated
+            # cache, psum'd survivor count) — the flagship multi-chip path
+            ab_d = jax.device_put(ab_d, shard_batch(self.mesh))
+            packed, out_s, out_f, n_pass = self._op_kernel(op_name)(
+                self.cache.screen, self.cache.fp, ab_d,
+                self._spoints, self._fpoints)
+            self.mesh_survivors = n_pass
+        else:
+            packed, out_s, out_f = self._op_kernel(op_name)(
+                self.cache.screen, self.cache.fp, ab_d,
+                self._spoints, self._fpoints)
         self.device_seconds += time.perf_counter() - t0
         self.candidates_screened += n
         # NOTE: packed is still an in-flight device array — the caller
@@ -301,6 +327,7 @@ class DiscoveryEngine:
             u = self.problem.tape_to_sympy(cand.tape)
             return self.problem.exact_zero_residual(u), "symbolic"
         except Exception:
+            self.errors += 1
             return None, "numeric(symbolic-error)"
 
     # ------------------------------------------------------------------
@@ -312,9 +339,13 @@ class DiscoveryEngine:
                  ) -> np.ndarray:
         """uint64 dedup keys: fingerprint hash when finite, structural
         (op, a, b) hash otherwise (the reference's normalizer likewise fell
-        back to the raw candidate string for unparseable forms)."""
-        keys = (sr.fp_a[:n].astype(np.uint64) << np.uint64(32)) \
-            | sr.fp_b[:n].astype(np.uint64)
+        back to the raw candidate string for unparseable forms).
+
+        Bit 63 partitions the key space: finite fp keys are masked into
+        [0, 2^63) and structural keys carry the tag bit, so the two kinds
+        can never collide/merge."""
+        keys = ((sr.fp_a[:n].astype(np.uint64) << np.uint64(32))
+                | sr.fp_b[:n].astype(np.uint64)) & np.uint64(FP_MASK)
         nf = ~sr.fp_finite[:n]
         if nf.any():
             keys = keys.copy()
@@ -330,18 +361,19 @@ class DiscoveryEngine:
         st.candidates += len(cands)
         for j, cand in enumerate(cands):
             if fp_finite[j]:
-                fp = (int(fpa[j]) << 32) | int(fpb[j])
+                fp = (((int(fpa[j]) << 32) | int(fpb[j])) & FP_MASK)
             else:
                 # structural identity for non-finite expressions (the
-                # reference's normalizer also fell back to the raw string)
-                fp = (hash(cand.expr_str) & ((1 << 63) - 1)) | (1 << 63)
+                # reference's normalizer also fell back to the raw string);
+                # stable digest so resumed runs rebuild the same key
+                fp = struct_key_for_expr(cand.expr_str)
             if fp in fp_to_uid:
                 continue  # duplicate of an earlier unique
             u = self.enumerator.add_unique(cand)
             fp_to_uid[fp] = u.uid
             kept.append(j)
             st.unique += 1
-            self._verdict(cand, self._ev_at(sr, j), depth, st, on_row)
+            self._verdict(cand, self._ev_at(sr, j), depth, st, on_row, fp)
 
         # append the new uniques' jets to the device cache (uid order ==
         # append order, preserving the row == uid invariant)
@@ -373,12 +405,15 @@ class DiscoveryEngine:
         n = a_u.size
         st.candidates += n
 
-        # structural hashes (used for non-finite-fingerprint candidates)
+        # structural hashes (used for non-finite-fingerprint candidates);
+        # op_salt is a stable digest — Python hash() is salted per process
+        # and would break resume dedup (ADVICE.md round 1)
         bb = b_u if b_u is not None else np.zeros(n, np.int32)
-        struct = (a_u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                  ^ bb.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-                  ^ np.uint64(hash(op_name) & 0x7FFFFFFF))
-        struct |= np.uint64(1) << np.uint64(63)
+        with np.errstate(over="ignore"):
+            struct = (a_u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                      ^ bb.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                      ^ np.uint64(op_salt(op_name)))
+        struct |= np.uint64(STRUCT_TAG)
         keys = self._fp_keys(sr, n, struct)
 
         # within-batch first occurrences
@@ -398,44 +433,45 @@ class DiscoveryEngine:
             fp_to_uid[k] = u.uid
             kept.append(j)
             st.unique += 1
-            self._verdict(u, self._ev_at(sr, j), depth, st, on_row)
+            self._verdict(u, self._ev_at(sr, j), depth, st, on_row, k)
 
         if out_s is not None and kept and append_cache:
             self._append_kept(out_s, out_f, kept)
 
     def _verdict(self, cand: Candidate, ev, depth: int, st: DepthStats,
-                 on_row=None):
+                 on_row=None, key: int = 0):
         if ev["is_const"] or not cand.has_var:
             if self.config.store_constants:
                 self._add_row(cand, depth, False,
                               "Zero gradient (constant expression)",
-                              "screen", ev, on_row)
+                              "screen", ev, on_row, key=key)
             return
 
         if not ev["fp_finite"] or ev["nonfinite"]:
             self._add_row(cand, depth, False,
                           "Non-finite on safe domain (rejected)",
-                          "screen", ev, on_row)
+                          "screen", ev, on_row, key=key)
             return
 
         if not ev["screen_ok"]:
             self._add_row(
                 cand, depth, False,
                 f"PDE residual != 0 (screen relres ≈ {ev['rel_max']:.2e})",
-                "screen", ev, on_row)
+                "screen", ev, on_row, key=key)
             return
 
         # stage 2: float64 recheck (full tape, independent arithmetic).
-        # Clear passes (rel far below the screen threshold — true zeros
-        # screen at ~1e-7) skip it; the gray zone is queued and re-checked
-        # in bulk at the end of the depth (batched f64 interpreter).
+        # Every screen passer gets it by default (f64_skip_below = 0.0):
+        # it is batched and cheap relative to the device stage, and the
+        # f32 screen alone would store near-solutions as Valid.
         if ev["rel_max"] < self.config.f64_skip_below:
             self._finalize_pass(cand, ev, ev["rel_max"], "screen",
-                                depth, st, on_row)
+                                depth, st, on_row, key)
         else:
-            self._gray.append((cand, ev))
+            self._gray.append((cand, ev, key))
 
-    def _finalize_pass(self, cand, ev, rel64, f64_tag, depth, st, on_row):
+    def _finalize_pass(self, cand, ev, rel64, f64_tag, depth, st, on_row,
+                       key: int = 0):
         """Stages 3-4 for a candidate that survived the numeric funnel."""
         verdict, method = self._confirm_symbolic(cand)
         if verdict is False:
@@ -443,7 +479,7 @@ class DiscoveryEngine:
                 cand, depth, False,
                 "Invalid (symbolic residual != 0; numeric zero was "
                 f"relres ≈ {rel64:.2e})",
-                "screen+f64+symbolic", ev, on_row)
+                "screen+f64+symbolic", ev, on_row, key=key)
             return
         if verdict is True:
             reason = "Valid (exact zero; heavy checks deferred)"
@@ -453,7 +489,8 @@ class DiscoveryEngine:
 
         row = self._add_row(cand, depth, True, reason,
                             f"{f64_tag}+{method}", ev, on_row,
-                            known=self._match_known(cand, ev["fp_vals"]))
+                            known=self._match_known(cand, ev["fp_vals"]),
+                            key=key, rel64=rel64)
         st.valid += 1
 
         # stage 4: heavy checks
@@ -463,6 +500,7 @@ class DiscoveryEngine:
                 h_ok, h_reason = self.problem.heavy_checks(hu)
             except Exception as e:
                 h_ok, h_reason = False, f"heavy check error: {e}"
+                self.errors += 1
             row.heavy_is_valid = h_ok
             row.heavy_reason = h_reason
             if not h_ok:
@@ -483,9 +521,9 @@ class DiscoveryEngine:
         pts = self.problem.screen_points
         for i in range(0, len(gray), chunk):
             part = gray[i:i + chunk]
-            L = max(len(c.tape) for c, _ in part)
-            tapes = np.stack([c.tape.padded(L) for c, _ in part])
-            lengths = np.array([len(c.tape) for c, _ in part], np.int64)
+            L = max(len(c.tape) for c, _, _ in part)
+            tapes = np.stack([c.tape.padded(L) for c, _, _ in part])
+            lengths = np.array([len(c.tape) for c, _, _ in part], np.int64)
             jets = eval_jets_np_many(tapes, lengths, consts, pts,
                                      self.problem.residual_order)
             res, scale = self.problem.residual_fn(jets, pts, np)
@@ -495,22 +533,43 @@ class DiscoveryEngine:
             finite = (np.isfinite(res) & np.isfinite(scale)).all(axis=-1) \
                 & informative_points(res, scale, jets, np).all(axis=-1)
             relmax = np.where(finite, rel.max(axis=-1), np.inf)
-            for j, (cand, ev) in enumerate(part):
+            for j, (cand, ev, key) in enumerate(part):
                 if finite[j] and relmax[j] < self.confirm_rtol:
                     self._finalize_pass(cand, ev, float(relmax[j]),
-                                        "screen+f64", depth, st, on_row)
+                                        "screen+f64", depth, st, on_row,
+                                        key)
                 else:
                     self._add_row(
                         cand, depth, False,
                         f"Invalid (f64 recheck relres ≈ {relmax[j]:.2e})",
-                        "screen+f64", ev, on_row)
+                        "screen+f64", ev, on_row, key=key)
 
     def _add_row(self, cand, depth, is_valid, reason, method, ev,
-                 on_row=None, known=None) -> Row:
-        if ev["fp_finite"]:
-            sig = f"{ev['fp'][0]:08x}{ev['fp'][1]:08x}"
+                 on_row=None, known=None, key: int = 0,
+                 rel64: Optional[float] = None) -> Row:
+        # The signature IS the dedup key (hex) — resume rebuilds the
+        # fp→uid map by parsing it back, so forward-path and resume keys
+        # agree across processes by construction.
+        if key:
+            sig = f"{key:016x}"
+        elif ev["fp_finite"]:
+            sig = f"{((ev['fp'][0] << 32) | ev['fp'][1]) & FP_MASK:016x}"
         else:
-            sig = f"expr{hash(cand.expr_str) & 0xFFFFFFFFFFFFFFFF:016x}"
+            sig = f"{struct_key_for_expr(cand.expr_str):016x}"
+        # Per-row evidence JSON (reference general:1330-1335; kerr
+        # validator.py:296-306).  Hand-rolled: json.dumps per row is
+        # measurable on 10^7-unique ingests.
+        evidence = (
+            '{"rel_max": %.6e, "screen_ok": %s, "nonfinite": %s,'
+            ' "is_const": %s, "fp_finite": %s, "n_screen_points": %d,'
+            ' "stage": "%s"%s}' % (
+                ev["rel_max"],
+                "true" if ev["screen_ok"] else "false",
+                "true" if ev["nonfinite"] else "false",
+                "true" if ev["is_const"] else "false",
+                "true" if ev["fp_finite"] else "false",
+                len(self.problem.screen_points), method,
+                "" if rel64 is None else ', "rel_f64": %.6e' % rel64))
         row = Row(
             id=self._next_row_id,
             expression=cand.expr_str,
@@ -522,6 +581,8 @@ class DiscoveryEngine:
             validator_method=method,
             is_paper_solution=known is not None,
             paper_solution_name=known,
+            validator_math=self._math_def,
+            validator_evidence=evidence,
         )
         self._next_row_id += 1
         self.rows.append(row)

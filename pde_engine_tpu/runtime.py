@@ -79,20 +79,21 @@ class DiscoveryRun:
                        if self.engine.rows else "")
             self.db.update_metadata(
                 sum(s.candidates for s in self.engine.stats) + st.candidates,
-                self.engine.enumerator.count_uniques(),
+                len(self.engine.rows),
                 len(self.engine.valid_rows))
             self.db.worker_heartbeat(os.getpid(), "device",
                                      self.engine.candidates_screened,
+                                     errors=self.engine.errors,
                                      snippet=snippet)
 
         def on_depth(st):
             self.db.flush()
             counts = {
                 "generated": sum(s.candidates for s in self.engine.stats),
-                "unique": self.engine.enumerator.count_uniques(),
+                "validated": len(self.engine.rows),
                 "valid": len(self.engine.valid_rows),
             }
-            self.db.update_metadata(counts["generated"], counts["unique"],
+            self.db.update_metadata(counts["generated"], counts["validated"],
                                     counts["valid"])
             self.db.save_generator_state({
                 "completed_depth": st.depth,
@@ -100,7 +101,9 @@ class DiscoveryRun:
                 "include_special_ops": self.config.include_special_ops,
                 "prune": self.config.prune,
             })
-            self.db.worker_heartbeat(os.getpid(), "device", counts["unique"])
+            self.db.worker_heartbeat(os.getpid(), "device",
+                                     counts["validated"],
+                                     errors=self.engine.errors)
             rate = (st.candidates / st.seconds) if st.seconds > 0 else 0
             self._log(f"  depth {st.depth}: {st.candidates} candidates, "
                       f"{st.unique} unique, {st.valid} valid "
@@ -135,9 +138,13 @@ class DiscoveryRun:
         report["device_seconds"] = self.engine.device_seconds
         report["candidates_screened"] = self.engine.candidates_screened
         paths = write_report_files(report, self.problem.get_output_dir())
-        self.db.update_metadata(report["total_generated"],
-                                report["total_generated"],
-                                report["total_valid"])
+        # total_generated = all candidates screened; total_validated =
+        # stored (validated) rows — the reference's schema distinguishes
+        # the two (ADVICE.md round 1)
+        self.db.update_metadata(
+            sum(s.candidates for s in self.engine.stats)
+            or report["total_generated"],
+            len(self.engine.rows), report["total_valid"])
         self.db.complete_run("completed")
         self._log(format_report_text(report))
         self._log(f"Reports: {paths['json']}  {paths['txt']}")
@@ -204,11 +211,15 @@ class DiscoveryRun:
                 is_one=tape.is_const_one(self.problem.consts),
                 consts=self.problem.consts)
             u = eng.enumerator.add_unique(cand)
+            # The signature column stores the dedup key in hex (pipeline
+            # _add_row), so forward-path and resume keys agree across
+            # processes by construction.
             sig = r["signature"]
-            if sig and not (sig.startswith("tape") or sig.startswith("expr")):
-                fp = (int(sig[:8], 16) << 32) | int(sig[8:16], 16)
-            else:
-                fp = (hash(r["expression"]) & ((1 << 63) - 1)) | (1 << 63)
+            try:
+                fp = int(sig, 16)
+            except (TypeError, ValueError):
+                from .utils.hashing import struct_key_for_expr
+                fp = struct_key_for_expr(r["expression"])
             eng.fp_to_uid[fp] = u.uid
             row = Row(
                 id=int(r["id"]), expression=r["expression"],

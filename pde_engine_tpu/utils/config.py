@@ -43,10 +43,12 @@ class SearchConfig:
     confirm_rtol: Optional[float] = None
 
     # f32 screen results below this relative residual are accepted without
-    # the per-candidate float64 host recheck (true solutions screen at
-    # ~1e-7 rel; the f64 stage exists for the gray zone up to screen_rtol).
-    # Set to 0.0 to force the f64 recheck for every screen-passer.
-    f64_skip_below: float = 1e-5
+    # the float64 host recheck.  Default 0.0: EVERY screen passer gets the
+    # batched f64 recheck (independent arithmetic) — the reference's fast
+    # path demanded |det| < 1e-20 at 50-digit precision, and an f32-only
+    # accept would store near-solutions as Valid (ADVICE.md round 1).
+    # The recheck is batched per depth, so the cost is small.
+    f64_skip_below: float = 0.0
 
     # novel-solution equivalence classing in the final report is SymPy-heavy
     # (simplify per valid row, reference general:1919-2008); skip it when

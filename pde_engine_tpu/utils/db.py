@@ -135,7 +135,9 @@ class RunDB:
         self._pending_rows.append((
             row.id, row.expression, row.normalized, row.signature, row.depth,
             row.validation_status, int(row.is_valid), row.validation_reason,
-            row.validator_method, None, None,
+            row.validator_method,
+            getattr(row, "validator_math", None) or None,
+            getattr(row, "validator_evidence", None) or None,
             int(row.is_paper_solution), row.paper_solution_name,
             None if row.heavy_is_valid is None else int(row.heavy_is_valid),
             row.heavy_reason,

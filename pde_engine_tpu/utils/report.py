@@ -66,12 +66,21 @@ def build_report(problem, rows: List, stats: Optional[List] = None,
 
     # Novel-class grouping (valid, non-paper)
     novel_classes = []
+    novel_note = ""
+    novel = [r for r in valid_rows
+             if not (r.paper_solution_name if hasattr(r, "paper_solution_name")
+                     else r["paper_solution_name"])]
+    if not classify_novel:
+        novel_note = (f"novel-class grouping SKIPPED ({len(novel)} novel "
+                      "rows exceed the SymPy classing limit; rerun with "
+                      "--print-run-id for full classing)")
     if classify_novel:
+        cap = max_novel_classes * 10
+        if len(novel) > cap:
+            novel_note = (f"novel-class grouping covers the first {cap} of "
+                          f"{len(novel)} novel rows")
         classes: Dict[str, List[str]] = defaultdict(list)
-        novel = [r for r in valid_rows
-                 if not (r.paper_solution_name if hasattr(r, "paper_solution_name")
-                         else r["paper_solution_name"])]
-        for r in novel[: max_novel_classes * 10]:
+        for r in novel[:cap]:
             expr = r.expression if hasattr(r, "expression") else r["expression"]
             classes[_canonical_class_key(expr, problem)].append(expr)
         for key, members in classes.items():
@@ -94,6 +103,7 @@ def build_report(problem, rows: List, stats: Optional[List] = None,
         "paper_solutions_found": paper_found,
         "paper_solutions_expected": dict(problem.known_solutions),
         "novel_classes": novel_classes,
+        "novel_classes_note": novel_note,
         "validator": problem.describe(),
         "stats": [vars(s) for s in (stats or [])],
     }
@@ -138,6 +148,8 @@ def format_report_text(report: Dict) -> str:
         lines.append(f"Novel solution classes: {len(report['novel_classes'])}")
         for c in report["novel_classes"][:25]:
             lines.append(f"  ({c['count']:4d}x) {c['representative']}")
+    if report.get("novel_classes_note"):
+        lines.append(f"  NOTE: {report['novel_classes_note']}")
     lines.append("")
     lines.append(f"Validator: {report['validator'].get('math_definition')}")
     return "\n".join(lines) + "\n"

@@ -135,3 +135,7 @@ def test_mesh_sharded_run_matches_unsharded():
     v2 = sorted(r.expression for r in e2.valid_rows)
     assert v1 == v2
     assert [s.unique for s in e1.stats] == [s.unique for s in e2.stats]
+    # the flagship incremental path must have gone through the explicitly
+    # shard_mapped op kernel (psum'd survivor count is its marker)
+    assert getattr(e2, "mesh_survivors", None) is not None
+    assert int(e2.mesh_survivors) >= 0

@@ -142,3 +142,77 @@ def test_kerr_audit_tools(outdir):
     hits = run.find_monopole_extensions(scope="all", target="either")
     assert isinstance(hits, list)
     run.close()
+
+
+def test_validator_evidence_persisted(outdir):
+    """Per-row evidence JSON + math description are persisted (reference
+    general:1330-1335, kerr validator.py:296-306)."""
+    run = _mk_run()
+    run.run(2)
+    conn = sqlite3.connect(run.db_path)
+    rows = conn.execute(
+        f"SELECT validator_evidence, validator_math FROM "
+        f"{table_name_for(run.run_id)}").fetchall()
+    assert rows
+    for ev_json, math in rows:
+        assert ev_json, "validator_evidence must be non-NULL"
+        ev = json.loads(ev_json)
+        assert "rel_max" in ev and "stage" in ev and "screen_ok" in ev
+        assert math, "validator_math must be non-NULL"
+    run.close()
+
+
+def test_signatures_stable_across_processes(outdir):
+    """Dedup keys/signatures must not depend on Python's per-process hash
+    salt (ADVICE.md round 1): two runs under different PYTHONHASHSEED
+    must store identical expression→signature maps."""
+    import subprocess
+    import sys
+
+    sigs = []
+    for seed in ("1", "31337"):
+        wd = outdir / f"seed{seed}"
+        wd.mkdir()
+        env = dict(os.environ, PYTHONHASHSEED=seed,
+                   PYTHONPATH="/root/repo")
+        code = (
+            "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+            "from pde_engine_tpu.runtime import DiscoveryRun\n"
+            "from pde_engine_tpu.utils.config import SearchConfig\n"
+            "r = DiscoveryRun('laplace', config=SearchConfig(max_depth=2),"
+            " run_id='paper_repro_20000101_000000_testseed',"
+            " verbose=False)\n"
+            "r.run(2); r.close()\n")
+        subprocess.run([sys.executable, "-c", code], cwd=wd, env=env,
+                       check=True, capture_output=True)
+        db = (wd / "problems" / "laplace" / "outputs" /
+              "parallel_runs_paper_repro_20000101_000000_testseed.db")
+        conn = sqlite3.connect(db)
+        sigs.append(dict(conn.execute(
+            "SELECT expression, signature FROM "
+            "expressions_paper_repro_20000101_000000_testseed")))
+        conn.close()
+    assert sigs[0] == sigs[1]
+
+
+def test_mid_depth_resume_no_duplicates(outdir):
+    """An interrupt mid-depth must not re-admit already-stored uniques on
+    resume (stable struct keys): rewind the generator state to depth 1 and
+    re-run depth 2 — the dedup map must absorb every candidate."""
+    frun = _mk_run(depth=2)
+    fresh = frun.run(2)
+    rid = frun.run_id
+    # simulate a mid-depth-2 interrupt: state says depth 1 completed
+    frun.db.save_generator_state({"completed_depth": 1, "max_depth": 2,
+                                  "include_special_ops": True,
+                                  "prune": True})
+    frun.close()
+
+    rrun = DiscoveryRun.resume("laplace", rid,
+                               config=SearchConfig(max_depth=2),
+                               verbose=False)
+    resumed = rrun.continue_run(2)
+    rrun.close()
+    # no new uniques/rows may appear — depth 2 was already fully stored
+    assert resumed["total_generated"] == fresh["total_generated"]
+    assert resumed["total_valid"] == fresh["total_valid"]
