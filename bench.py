@@ -33,6 +33,7 @@ def main():
     from pde_engine_tpu.models import load_problem
     from pde_engine_tpu.ops.jets import n_coeffs
     from pde_engine_tpu.parallel.incremental import JetCache, make_op_kernel
+    from pde_engine_tpu.parallel.pallas_engine import make_pallas_op_kernel
     from pde_engine_tpu.parallel.search import unpack_screen_result
     from pde_engine_tpu.utils.compile_cache import enable_compile_cache
 
@@ -40,6 +41,7 @@ def main():
 
     seed_depth = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     batch_size = 262144
+    use_pallas = jax.default_backend() != "cpu"
 
     problem = load_problem("force_free")
     enum = Enumerator(problem, include_special_ops=True, prune=True)
@@ -51,8 +53,9 @@ def main():
                      initial_capacity=1 << 16)
 
     def op_kernel(name):
-        return make_op_kernel(
-            op_name=name, order=problem.residual_order,
+        mk = make_pallas_op_kernel if use_pallas else make_op_kernel
+        return mk(
+            name, order=problem.residual_order,
             residual_key=problem.get_residual_key(),
             screen_rtol=float(problem.screen_rtol),
             n_screen=len(problem.screen_points),
@@ -77,12 +80,13 @@ def main():
     seen = set()
     for depth in range(2, seed_depth + 1):
         for op_name, batch in enum.op_batches_at_depth(depth, batch_size):
-            ab = np.zeros((len(batch), 2), np.int32)
-            ab[:, 0] = np.fromiter((c.a.uid for c in batch), np.int32,
-                                   len(batch))
-            ab[:, 1] = np.fromiter(
+            npad = ((len(batch) + 511) // 512) * 512  # Pallas tile multiple
+            n = len(batch)
+            ab = np.zeros((npad, 2), np.int32)
+            ab[:n, 0] = np.fromiter((c.a.uid for c in batch), np.int32, n)
+            ab[:n, 1] = np.fromiter(
                 (c.b.uid if c.b is not None else 0 for c in batch),
-                np.int32, len(batch))
+                np.int32, n)
             packed, out_s, out_f = op_kernel(op_name)(
                 cache.screen, cache.fp, jnp.asarray(ab), spoints, fpoints)
             sr = unpack_screen_result(np.asarray(packed))
@@ -115,19 +119,33 @@ def main():
             (c.b.uid if c.b is not None else 0 for c in batch), np.int32, n)
         batches.append((op_name, n, jnp.asarray(ab)))
 
-    # warm-up (compile every (op, shape) variant outside the timing)
+    # warm-up: compile every (op, shape) variant AND the fence concat
+    # outside the timing (identical dispatch sequence to the timed loop)
+    warm = []
     for op_name, n, ab in batches:
         packed, _, _ = op_kernel(op_name)(cache.screen, cache.fp, ab,
                                           spoints, fpoints)
-        _ = np.asarray(packed[:2, 0])
+        warm.append(packed)
+    _ = np.asarray(jnp.concatenate([p[:1, 0] for p in warm]))
+    del warm
 
+    # Timed: dispatch the whole depth's batches back-to-back (the
+    # production pipeline likewise keeps the device queue full and drains
+    # results one batch behind), fence ONCE with a device->host copy of
+    # every batch's verdicts.  Per-batch fencing would measure the axon
+    # tunnel's ~27 ms round-trip latency 23x, not the chip.
     total = 0
     t0 = time.perf_counter()
+    inflight = []
     for op_name, n, ab in batches:
         packed, out_s, out_f = op_kernel(op_name)(
             cache.screen, cache.fp, ab, spoints, fpoints)
-        _ = np.asarray(packed[:2, 0])    # host fence
+        inflight.append(packed)
         total += n
+    # single fence: one device-side concat depends on every batch, one
+    # device->host copy (per-batch np.asarray would pay the tunnel RTT 23x)
+    fence = jnp.concatenate([p[:1, 0] for p in inflight])
+    _ = np.asarray(fence)
     dt = time.perf_counter() - t0
 
     per_sec = total / dt

@@ -134,7 +134,6 @@ class Enumerator:
             binary_names += list(problem.special_ops)
         self.binary = [(n, ot.ALL_SURFACE_OPS[n]) for n in binary_names]
         self.uniques_by_depth: Dict[int, List[Unique]] = {}
-        self.by_uid: List[Unique] = []
         self._next_uid = 0
         # coordinate-like uids (operand restriction for sqrt_shift ops,
         # reference lean_bridge_fixed.py:217-219)
@@ -145,6 +144,23 @@ class Enumerator:
         self.f_is_one = np.zeros(self._cap, np.bool_)
         self.f_top_inv = np.zeros(self._cap, np.bool_)
         self.f_is_coord = np.zeros(self._cap, np.bool_)
+        # SoA registry: the structure (op, a, b, depth) of every unique as
+        # flat arrays — the 10^7-unique mega-runs never build a Python
+        # object per unique; Unique objects materialize lazily on demand
+        # (survivors, resume, tape-engine fallback).
+        self._op_names: List[str] = list(ot.ALL_SURFACE_OPS)
+        self._op_ids: Dict[str, int] = {n: i
+                                        for i, n in enumerate(self._op_names)}
+        self.u_op = np.full(self._cap, -1, np.int16)    # -1 for leaves
+        self.u_a = np.full(self._cap, -1, np.int32)
+        self.u_b = np.full(self._cap, -1, np.int32)     # -1 if unary/leaf
+        self.u_depth = np.zeros(self._cap, np.int16)
+        self.expr_strs: List[Optional[str]] = []        # by uid
+        self.wrapped_strs: List[Optional[str]] = []     # by uid
+        self._objs: Dict[int, Unique] = {}              # materialized
+        self._uid_chunks: Dict[int, List[np.ndarray]] = {}
+        self._uid_arr_cache: Dict[int, np.ndarray] = {}
+        self._dropped_string_depths: Set[int] = set()
 
     # ------------------------------------------------------------------
     def primitive_candidates(self) -> List[Candidate]:
@@ -158,26 +174,37 @@ class Enumerator:
         return out
 
     def add_unique(self, cand: Candidate) -> Unique:
-        u = Unique(cand, self._next_uid)
+        """Object-path registration (depth-1 primitives, resume seeding,
+        the tape-engine fallback).  Keeps the SoA registry in sync."""
+        uid = self._next_uid
+        u = Unique(cand, uid)
         self._next_uid += 1
-        self.uniques_by_depth.setdefault(cand.depth, []).append(u)
-        self.by_uid.append(u)
-        if u.uid >= self._cap:
+        if uid >= self._cap:
             self._grow_flags()
-        self.f_has_var[u.uid] = u.has_var
-        self.f_is_one[u.uid] = u.is_one
-        self.f_top_inv[u.uid] = (u.top_op == "inv")
+        self.uniques_by_depth.setdefault(cand.depth, []).append(u)
+        self._objs[uid] = u
+        self.u_op[uid] = self._op_ids.get(cand.op_name, -1)
+        self.u_a[uid] = cand.a.uid if isinstance(cand.a, Unique) else -1
+        self.u_b[uid] = cand.b.uid if isinstance(cand.b, Unique) else -1
+        self.u_depth[uid] = cand.depth
+        self.expr_strs.append(cand.expr_str)
+        self.wrapped_strs.append(u.wrapped)
+        self._append_uid_chunk(cand.depth,
+                               np.array([uid], dtype=np.int32))
+        self.f_has_var[uid] = u.has_var
+        self.f_is_one[uid] = u.is_one
+        self.f_top_inv[uid] = (u.top_op == "inv")
         if self._is_coordinate_like(u):
-            self._coordinate_uids.add(u.uid)
-            self.f_is_coord[u.uid] = True
+            self._coordinate_uids.add(uid)
+            self.f_is_coord[uid] = True
         return u
 
     def add_unique_from_op(self, op_name: str, a_uid: int,
                            b_uid: Optional[int], depth: int) -> Unique:
-        """Fast-path unique creation from the vectorized ingest: builds the
-        DAG node (and its display string) from parent uniques."""
-        a = self.by_uid[a_uid]
-        b = self.by_uid[b_uid] if b_uid is not None else None
+        """Single-candidate unique creation from parent uids (object path;
+        the mass path is :meth:`add_uniques_bulk`)."""
+        a = self.unique_at(a_uid)
+        b = self.unique_at(b_uid) if b_uid is not None else None
         if b is None:
             s = f"{op_name}({a.expr_str})"
             has_var = a.has_var
@@ -193,13 +220,162 @@ class Enumerator:
                          consts=self.problem.consts)
         return self.add_unique(cand)
 
+    # ------------------------------------------------------------------
+    # Bulk (array-level) registration — the mega-run hot path.  No Python
+    # objects, no per-candidate function calls beyond one string concat.
+    # ------------------------------------------------------------------
+
+    def add_uniques_bulk(self, op_name: str, a_u: np.ndarray,
+                         b_u: Optional[np.ndarray], depth: int,
+                         retain_strings: bool = True
+                         ) -> Tuple[int, List[str]]:
+        """Register ``op(a, b)`` uniques for parent-uid arrays; returns
+        (first uid, display strings).  ``retain_strings=False`` skips
+        keeping the strings in the registry (final-depth uniques never
+        become parents; their strings live only in the emitted DB rows) —
+        they can still be rebuilt on demand from the SoA structure."""
+        n = int(a_u.size)
+        # a former final depth may have dropped its strings; if this call
+        # builds on top of it (run extended deeper in-process), repair first
+        if self._dropped_string_depths:
+            self._ensure_strings(depth)
+        uid0 = self._next_uid
+        self._next_uid += n
+        while self._next_uid > self._cap:
+            self._grow_flags()
+        sl = slice(uid0, uid0 + n)
+        opid = self._op_ids[op_name]
+        unary = b_u is None
+        self.u_op[sl] = opid
+        self.u_a[sl] = a_u
+        self.u_b[sl] = -1 if unary else b_u
+        self.u_depth[sl] = depth
+        self._append_uid_chunk(
+            depth, np.arange(uid0, uid0 + n, dtype=np.int32))
+
+        # flags (vectorized)
+        if unary:
+            self.f_has_var[sl] = self.f_has_var[a_u]
+        else:
+            self.f_has_var[sl] = self.f_has_var[a_u] | self.f_has_var[b_u]
+        self.f_is_one[sl] = False
+        self.f_top_inv[sl] = (op_name == "inv")
+        if op_name in ("add", "sub") and not unary:
+            # coordinate-like composites are exactly (prim ± prim) of the
+            # two coordinate primitives (the reference's sqrt_shift operand
+            # string set, lean_bridge_fixed.py:217-219)
+            coord = (self.f_is_coord[a_u] & self.f_is_coord[b_u]
+                     & (self.u_depth[a_u] == 1) & (self.u_depth[b_u] == 1)
+                     & (a_u != b_u))
+            self.f_is_coord[sl] = coord
+            if coord.any():
+                self._coordinate_uids.update(
+                    (uid0 + np.nonzero(coord)[0]).tolist())
+        else:
+            self.f_is_coord[sl] = False
+
+        # display strings: one concat per unique from parent wrapped forms.
+        # Every composed spelling is self-wrapped ("op(...)" / "({a} + {b})"),
+        # so wrapped == expr for the children.
+        ws = self.wrapped_strs
+        es = self.expr_strs
+        if unary:
+            pre = op_name + "("
+            exprs = [pre + es[i] + ")" for i in a_u.tolist()]
+        else:
+            fmt = ot.SURFACE_FORMAT.get(op_name)
+            if fmt:
+                p1, rest = fmt.split("{a}")
+                mid, p2 = rest.split("{b}")
+                exprs = [p1 + ws[i] + mid + ws[j] + p2
+                         for i, j in zip(a_u.tolist(), b_u.tolist())]
+            else:
+                pre = op_name + "("
+                exprs = [pre + es[i] + ", " + es[j] + ")"
+                         for i, j in zip(a_u.tolist(), b_u.tolist())]
+        if retain_strings:
+            es.extend(exprs)
+            ws.extend(exprs)  # self-wrapped: same references, no copies
+        else:
+            es.extend([None] * n)
+            ws.extend([None] * n)
+            self._dropped_string_depths.add(depth)
+        return uid0, exprs
+
+    def _ensure_strings(self, below_depth: int):
+        for d in sorted(self._dropped_string_depths):
+            if d >= below_depth:
+                continue
+            for uid in self.uid_array(d).tolist():
+                if self.expr_strs[uid] is None:
+                    s = self.expr_str_of(uid)
+                    self.expr_strs[uid] = s
+                    self.wrapped_strs[uid] = wrap_operand(s)
+            self._dropped_string_depths.discard(d)
+
+    def _append_uid_chunk(self, depth: int, chunk: np.ndarray):
+        self._uid_chunks.setdefault(depth, []).append(chunk)
+        self._uid_arr_cache.pop(depth, None)
+
+    def uid_array(self, depth: int) -> np.ndarray:
+        arr = self._uid_arr_cache.get(depth)
+        if arr is None:
+            chunks = self._uid_chunks.get(depth, [])
+            arr = (np.concatenate(chunks) if chunks
+                   else np.empty(0, np.int32))
+            self._uid_arr_cache[depth] = arr
+        return arr
+
+    def expr_str_of(self, uid: int) -> str:
+        s = self.expr_strs[uid]
+        if s is not None:
+            return s
+        # dropped string (retain_strings=False): rebuild from structure
+        op = self._op_names[int(self.u_op[uid])]
+        a = int(self.u_a[uid])
+        b = int(self.u_b[uid])
+        if b < 0:
+            return f"{op}({self.expr_str_of(a)})"
+        fmt = ot.SURFACE_FORMAT.get(op)
+        aw = wrap_operand(self.expr_str_of(a))
+        bw = wrap_operand(self.expr_str_of(b))
+        if fmt:
+            return fmt.format(a=aw, b=bw)
+        return f"{op}({self.expr_str_of(a)}, {self.expr_str_of(b)})"
+
+    def unique_at(self, uid: int) -> Unique:
+        """Materialize the Unique object for a uid (lazy; recursion
+        materializes the ancestor DAG, shared across children)."""
+        u = self._objs.get(uid)
+        if u is not None:
+            return u
+        op = self._op_names[int(self.u_op[uid])]
+        a = self.unique_at(int(self.u_a[uid]))
+        bi = int(self.u_b[uid])
+        b = self.unique_at(bi) if bi >= 0 else None
+        cand = Candidate(
+            depth=int(self.u_depth[uid]), expr_str=self.expr_str_of(uid),
+            top_op=op, has_var=bool(self.f_has_var[uid]),
+            is_one=bool(self.f_is_one[uid]), op_name=op, a=a, b=b,
+            consts=self.problem.consts)
+        u = Unique(cand, uid)
+        self._objs[uid] = u
+        return u
+
+    def all_uniques(self) -> List[Unique]:
+        return [self.unique_at(i) for i in range(self._next_uid)]
+
     def _grow_flags(self):
         new_cap = self._cap * 2
         while new_cap <= self._next_uid:
             new_cap *= 2
-        for name in ("f_has_var", "f_is_one", "f_top_inv", "f_is_coord"):
+        pad_n = new_cap - self._cap
+        for name, fill in (("f_has_var", False), ("f_is_one", False),
+                           ("f_top_inv", False), ("f_is_coord", False),
+                           ("u_op", -1), ("u_a", -1), ("u_b", -1),
+                           ("u_depth", 0)):
             arr = getattr(self, name)
-            pad = np.zeros(new_cap - self._cap, np.bool_)
+            pad = np.full(pad_n, fill, dtype=arr.dtype)
             setattr(self, name, np.concatenate([arr, pad]))
         self._cap = new_cap
 
@@ -223,7 +399,8 @@ class Enumerator:
         seen: Set[Tuple] = set()
 
         # unary of depth-1 uniques
-        for u in self.uniques_by_depth.get(depth - 1, []):
+        for uid in self.uid_array(depth - 1).tolist():
+            u = self.unique_at(uid)
             if prune and not u.has_var:
                 continue
             for name, op in self.unary:
@@ -247,8 +424,10 @@ class Enumerator:
             d2 = depth - d1
             if d2 < 1 or d2 >= depth:
                 continue
-            left_set = self.uniques_by_depth.get(d1, [])
-            right_set = self.uniques_by_depth.get(d2, [])
+            left_set = [self.unique_at(i)
+                        for i in self.uid_array(d1).tolist()]
+            right_set = [self.unique_at(i)
+                         for i in self.uid_array(d2).tolist()]
             for u1 in left_set:
                 for u2 in right_set:
                     if prune and not (u1.has_var or u2.has_var):
@@ -315,12 +494,7 @@ class Enumerator:
         """
         assert depth >= 2
         prune = self.prune
-
-        def uid_arr(d):
-            return np.fromiter((u.uid for u in
-                                self.uniques_by_depth.get(d, [])),
-                               np.int32,
-                               len(self.uniques_by_depth.get(d, [])))
+        uid_arr = self.uid_array
 
         def chunks(name, a, b):
             for i in range(0, a.size, batch_size):

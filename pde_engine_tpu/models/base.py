@@ -55,6 +55,12 @@ class Problem:
     # the slug). Non-default parameterizations register a fresh key.
     residual_key: str = ""
 
+    # known solutions that hold only at an anchor parameterization (e.g.
+    # Kerr's monopole is exact at a→0, NOT at a=1/10): name -> note.
+    # Reports exclude these from the found/expected discoverability count
+    # and print the note instead of a misleading ✗.
+    anchor_only_knowns: Dict[str, str] = field(default_factory=dict)
+
     def get_residual_key(self) -> str:
         if not self.residual_key:
             self.residual_key = self.slug + self._residual_param_tag()
@@ -154,6 +160,23 @@ class Problem:
 
     def heavy_checks(self, u) -> Tuple[bool, str]:
         return True, "ok"
+
+    def validate_known(self, expr_str: str) -> Tuple[bool, float, str]:
+        """Numeric residual check of a known solution at this problem's
+        parameterization (the reference validated knowns first,
+        general:481-499).  Returns (ok, max relative residual, note).
+        Anchor-only knowns (see ``anchor_only_knowns``) are overridden by
+        the problem to validate at their anchor."""
+        import numpy as np
+        from ..ops.interpreter import eval_jets_np
+        t = self.parse(expr_str)
+        jets = eval_jets_np(t.rows, len(t), self.consts.as_array(np.float64),
+                            self.screen_points, self.residual_order)
+        res, scale = self.residual_fn(jets, self.screen_points, np)
+        with np.errstate(invalid="ignore"):
+            rel = np.abs(res) / (scale + 1e-300)
+        ok = bool(np.isfinite(res).all() and rel.max() < self.confirm_rtol)
+        return ok, float(np.nanmax(rel)), ""
 
     def get_output_dir(self) -> str:
         os.makedirs(self.output_root, exist_ok=True)

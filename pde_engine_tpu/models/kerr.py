@@ -85,6 +85,10 @@ class KerrProblem(Problem):
             fingerprint_points=FINGERPRINT_POINTS,
             output_root="problems/kerr_magnetosphere/outputs",
             param_values={"M": Fraction(M_value), "a": Fraction(a_value)},
+            anchor_only_knowns={
+                "Monopole (a -> 0 limit)":
+                    "exact at the a→0 anchor, not at a=1/10 — validated "
+                    "at the anchor parameterization"},
         )
         # primitives (reference problems/__init__.py:271-281):
         # r, x, 1, 1/3, (1-x), a^2, r^2 + a^2 x^2, Delta, G
@@ -92,6 +96,27 @@ class KerrProblem(Problem):
                       a**2, r**2 + a**2 * x**2, Delta, G]
         self.primitives = [self.compile_sympy(e) for e in prim_exprs]
         self.primitive_strs = [str(e) for e in prim_exprs]
+
+    def validate_known(self, expr_str: str) -> Tuple[bool, float, str]:
+        """The monopole 1 - x solves the surrogate only in the a→0 limit
+        (it is NOT a solution at a=1/10; the reference's known-solution
+        contract silently glossed over this, problems/__init__.py:285-287).
+        Validate it at its anchor and say so."""
+        import numpy as np
+        from ..ops.interpreter import eval_jets_np
+        name = self.known_solutions.get(expr_str, "")
+        if name not in self.anchor_only_knowns:
+            return super().validate_known(expr_str)
+        t = self.parse(expr_str)
+        jets = eval_jets_np(t.rows, len(t),
+                            self.consts.as_array(np.float64),
+                            self.screen_points, self.residual_order)
+        res, scale = kerr_residual(jets, self.screen_points, np,
+                                   M=float(self.param_values["M"]), a=0.0)
+        with np.errstate(invalid="ignore"):
+            rel = np.abs(res) / (scale + 1e-300)
+        ok = bool(np.isfinite(res).all() and rel.max() < self.confirm_rtol)
+        return ok, float(np.nanmax(rel)), "at anchor a→0"
 
     # -- SymPy residual (exact confirm / --verify-pde) -------------------
     def sympy_residual(self, u, symbolic_params: bool = True):

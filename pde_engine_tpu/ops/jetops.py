@@ -55,8 +55,11 @@ def _log(a, order: int, xp):
 
 
 def _add_const(a, c: float, xp):
-    """a + c (adds to the constant coefficient only)."""
-    return xp.concatenate([a[..., :1] + c, a[..., 1:]], axis=-1)
+    """a + c (adds to the constant coefficient only).  Column-stack dialect
+    (lane-major-shim compatible, see ops/lanes.py)."""
+    n = a.shape[-1] if hasattr(a, "shape") else len(a.cols)
+    return xp.stack([a[..., 0] + c] + [a[..., k] for k in range(1, n)],
+                    axis=-1)
 
 
 def _one_minus(a, xp):

@@ -164,14 +164,17 @@ def jet_compose(w, fs, order: int, xp):
         f(w) = fs[0] + w~ * (fs[1] + w~ * (... fs[R]))      w~ = w - w0
     """
     T = n_coeffs(order)
-    # w~ : zero the constant term
-    wt = xp.concatenate([xp.zeros_like(w[..., :1]), w[..., 1:]], axis=-1)
+    # w~ : zero the constant term.  (Column-stack dialect rather than
+    # concatenate/[..., None] so the lane-major Pallas shim (ops/lanes.py)
+    # can run this code unchanged.)
+    wt = xp.stack([xp.zeros_like(w[..., 0])]
+                  + [w[..., k] for k in range(1, T)], axis=-1)
     acc = jet_const(fs[order], order, xp, like=w[..., 0])
     for k in range(order - 1, -1, -1):
         acc = jet_mul(acc, wt, order, xp)
         # add constant fs[k] to coefficient 0
-        acc = xp.concatenate(
-            [acc[..., :1] + fs[k][..., None], acc[..., 1:]], axis=-1)
+        acc = xp.stack([acc[..., 0] + fs[k]]
+                       + [acc[..., i] for i in range(1, T)], axis=-1)
     return acc
 
 

@@ -23,10 +23,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.jetops import apply_surface_op
+from ..ops.jetops import BINARY_NAMES, UNARY_NAMES, apply_surface_op
 from ..ops.jets import n_coeffs
 from .search import (ScreenResult, _RESIDUALS, _fold_hash, _quantize,
                      pack_screen_result, verdicts_from_jets)
+
+# Fixed branch order of the universal kernel's lax.switch.
+OP_ORDER: Tuple[str, ...] = tuple(UNARY_NAMES) + tuple(BINARY_NAMES)
+OP_INDEX = {n: i for i, n in enumerate(OP_ORDER)}
 
 
 class JetCache:
@@ -77,34 +81,67 @@ class JetCache:
             self.fp, fp_rows.astype(self.dtype), (self.n, 0))
         self.n += adv
 
+    def append_gathered(self, out_s, out_f, idx, real_rows: int) -> None:
+        """Select rows ``idx`` from freshly computed batch jets and append
+        them at the tail — ONE fused device dispatch (gather + two in-place
+        updates with donated cache buffers) instead of four.  Kernel-launch
+        round trips cost ~27 ms each through the axon tunnel; this call
+        happens once per candidate batch."""
+        k = int(idx.shape[0])
+        if real_rows == 0:
+            return
+        if self.n + k > self.capacity:
+            self._grow(self.n + k)
+        upd = make_append_kernel()
+        self.screen, self.fp = upd(
+            self.screen, self.fp, out_s.astype(self.dtype),
+            out_f.astype(self.dtype), idx,
+            jnp.asarray(self.n, jnp.int32))
+        self.n += real_rows
 
-def make_op_kernel_raw(op_name: str, order: int, residual_key: str,
-                       screen_rtol: float, n_screen: int, n_fp: int):
-    """Fused kernel body for one surface op: gather operand jets from the
-    cache, apply the op at screen order and at fingerprint order, compute
-    residual verdicts + fingerprints.  Returns (packed verdicts, out_screen,
-    out_fp) — the out jets are appended to the cache for surviving uniques.
-    The raw function is what ``shard_map`` wraps for multi-chip runs.
+
+def make_universal_kernel_raw(order: int, residual_key: str,
+                              screen_rtol: float, n_screen: int, n_fp: int):
+    """ONE fused kernel for ALL surface ops: gather operand jets from the
+    cache, ``lax.switch`` on a traced op id into the op's jet-space branch
+    (screen order + fingerprint order), then the shared residual verdicts +
+    fingerprints.  Returns (packed verdicts, out_screen, out_fp).
+
+    One kernel instead of 18 per-op kernels matters twice on TPU: XLA
+    compiles the (large, shared) residual/verdict code once per batch
+    shape instead of 18 times, and only two executables per shape ride the
+    remote-compile path at startup.  At runtime the switch executes
+    exactly one branch — no waste beyond the (benign) b-operand gather for
+    unary ops.
     """
     residual_fn = _RESIDUALS[residual_key]
     T = n_coeffs(order)
 
-    def kernel(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+    def kernel(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints):
         # ab_idx: int32[N, 2] — one combined upload (the tunnel charges
         # ~90 ms per host->device transfer regardless of size)
         a_idx = ab_idx[:, 0]
         b_idx = ab_idx[:, 1]
         a_s = cache_screen[a_idx].reshape(-1, n_screen, T)
         a_f = cache_fp[a_idx].reshape(-1, n_fp, 3)
-        if op_name in ("neg", "inv", "sqrt", "square", "pow_3_2",
-                       "pow_neg_3_2", "exp", "exp_neg", "log"):
-            b_s = b_f = None
-        else:
-            b_s = cache_screen[b_idx].reshape(-1, n_screen, T)
-            b_f = cache_fp[b_idx].reshape(-1, n_fp, 3)
+        b_s = cache_screen[b_idx].reshape(-1, n_screen, T)
+        b_f = cache_fp[b_idx].reshape(-1, n_fp, 3)
 
-        out_s = apply_surface_op(op_name, a_s, b_s, order, jnp)
-        out_f = apply_surface_op(op_name, a_f, b_f, 1, jnp)
+        def branch(name):
+            unary = name in UNARY_NAMES
+
+            def apply(ops):
+                aa_s, aa_f, bb_s, bb_f = ops
+                return (apply_surface_op(name, aa_s,
+                                         None if unary else bb_s,
+                                         order, jnp),
+                        apply_surface_op(name, aa_f,
+                                         None if unary else bb_f,
+                                         1, jnp))
+            return apply
+
+        out_s, out_f = jax.lax.switch(
+            op_id, [branch(n) for n in OP_ORDER], (a_s, a_f, b_s, b_f))
 
         sr = verdicts_from_jets(out_s, out_f, spoints, residual_fn,
                                 screen_rtol)
@@ -116,17 +153,31 @@ def make_op_kernel_raw(op_name: str, order: int, residual_key: str,
 
 
 @functools.lru_cache(maxsize=None)
-def make_op_kernel(op_name: str, order: int, residual_key: str,
-                   screen_rtol: float, n_screen: int, n_fp: int):
-    """Jitted single-device op kernel (see make_op_kernel_raw)."""
-    return jax.jit(make_op_kernel_raw(op_name, order, residual_key,
-                                      screen_rtol, n_screen, n_fp))
+def make_universal_kernel(order: int, residual_key: str,
+                          screen_rtol: float, n_screen: int, n_fp: int):
+    return jax.jit(make_universal_kernel_raw(
+        order, residual_key, screen_rtol, n_screen, n_fp))
 
 
 @functools.lru_cache(maxsize=None)
-def make_op_kernel_sharded(mesh, op_name: str, order: int,
-                           residual_key: str, screen_rtol: float,
-                           n_screen: int, n_fp: int):
+def make_op_kernel(op_name: str, order: int, residual_key: str,
+                   screen_rtol: float, n_screen: int, n_fp: int):
+    """Per-op view of the universal kernel (same jitted executable for
+    every op — the op id is a traced scalar)."""
+    uni = make_universal_kernel(order, residual_key, screen_rtol,
+                                n_screen, n_fp)
+    op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
+
+    def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        return uni(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _make_universal_kernel_sharded(mesh, order: int, residual_key: str,
+                                   screen_rtol: float, n_screen: int,
+                                   n_fp: int):
     """The flagship engine's multi-chip step: shard_map the fused op kernel
     over the ``candidates`` mesh axis with a REPLICATED jet cache, and
     reduce the survivor count across chips with a psum (rides ICI).
@@ -142,11 +193,11 @@ def make_op_kernel_sharded(mesh, op_name: str, order: int,
 
     from .mesh import CANDIDATE_AXIS
 
-    raw = make_op_kernel_raw(op_name, order, residual_key, screen_rtol,
-                             n_screen, n_fp)
+    raw = make_universal_kernel_raw(order, residual_key, screen_rtol,
+                                    n_screen, n_fp)
 
-    def step(cache_screen, cache_fp, ab_idx, spoints, fpoints):
-        packed, out_s, out_f = raw(cache_screen, cache_fp, ab_idx,
+    def step(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints):
+        packed, out_s, out_f = raw(cache_screen, cache_fp, ab_idx, op_id,
                                    spoints, fpoints)
         # packed[:, 0] is the screen_ok column (search.pack_screen_result)
         n_pass = jax.lax.psum(jnp.sum(packed[:, 0].astype(jnp.int32)),
@@ -155,11 +206,26 @@ def make_op_kernel_sharded(mesh, op_name: str, order: int,
 
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P(CANDIDATE_AXIS), P(), P()),
+        in_specs=(P(), P(), P(CANDIDATE_AXIS), P(), P(), P()),
         out_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
                    P(CANDIDATE_AXIS), P()),
         check_rep=False)
     return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def make_op_kernel_sharded(mesh, op_name: str, order: int,
+                           residual_key: str, screen_rtol: float,
+                           n_screen: int, n_fp: int):
+    """Per-op view of the sharded universal kernel."""
+    uni = _make_universal_kernel_sharded(mesh, order, residual_key,
+                                         screen_rtol, n_screen, n_fp)
+    op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
+
+    def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        return uni(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints)
+
+    return call
 
 
 @functools.lru_cache(maxsize=None)
@@ -168,3 +234,16 @@ def make_select_kernel():
     def sel(arr, idx):
         return arr[idx]
     return jax.jit(sel)
+
+
+@functools.lru_cache(maxsize=None)
+def make_append_kernel():
+    """Fused survivor-select + cache-append: gathers the kept batch rows
+    and writes them at the cache tail in place (donated buffers, so the
+    173 MB-scale cache arrays are updated without a full copy)."""
+    def upd(screen, fpc, out_s, out_f, idx, pos):
+        rows_s = out_s[idx]
+        rows_f = out_f[idx]
+        return (jax.lax.dynamic_update_slice(screen, rows_s, (pos, 0)),
+                jax.lax.dynamic_update_slice(fpc, rows_f, (pos, 0)))
+    return jax.jit(upd, donate_argnums=(0, 1))

@@ -1,0 +1,128 @@
+"""Pallas lane-major fused op+residual kernels — the TPU fast path.
+
+The incremental engine's per-candidate work is one surface-op application
+plus the PDE residual, both pure jet algebra: hundreds of statically
+unrolled FMAs over Taylor coefficients.  XLA lays candidates on the last
+axis of [N, P, T] arrays (coefficients on lanes), which wastes most of
+each 8×128 vreg; the measured-4.2× layout keeps CANDIDATES on the 128-wide
+lane axis and (coefficient, point) on sublanes (ops/pallas_kernels.py).
+
+This module runs the engine's existing jet/residual code inside a Pallas
+TPU kernel in that layout via the LJ shim (ops/lanes.py):
+
+    XLA:    gather operand rows from the HBM jet cache, transpose to
+            lane-major [T*P, N]
+    Pallas: per 512-candidate tile — surface op at screen order (4) and
+            fingerprint order (1) + PDE residual/scale, all in VMEM
+    XLA:    verdict flags, fingerprint quantize+hash, packing (small)
+
+The XLA universal kernel (parallel/incremental.py) remains the default on
+CPU and the correctness oracle; tests compare the two in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.jetops import UNARY_NAMES, apply_surface_op
+from ..ops.jets import n_coeffs
+from ..ops.lanes import (from_lane_major, lanes, lj_from_ref, lj_store,
+                         to_lane_major)
+from .search import _RESIDUALS, pack_screen_result, verdicts_from_parts
+
+TILE = 512
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
+                          screen_rtol: float, n_screen: int, n_fp: int,
+                          tile: int = TILE, interpret: bool = False):
+    """Fused gather→op→residual kernel for one surface op; call signature
+    matches incremental.make_op_kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    residual_fn = _RESIDUALS[residual_key]
+    T = n_coeffs(order)
+    P = n_screen
+    F = n_fp
+    unary = op_name in UNARY_NAMES
+    rows_s = T * P
+    rows_f = 3 * F
+
+    def kernel(points_ref, *refs):
+        if unary:
+            a_s_ref, a_f_ref, out_s_ref, out_f_ref, res_ref, scale_ref = refs
+            b_s = b_f = None
+        else:
+            (a_s_ref, a_f_ref, b_s_ref, b_f_ref,
+             out_s_ref, out_f_ref, res_ref, scale_ref) = refs
+            b_s = lj_from_ref(b_s_ref, P, T)
+            b_f = lj_from_ref(b_f_ref, F, 3)
+        a_s = lj_from_ref(a_s_ref, P, T)
+        a_f = lj_from_ref(a_f_ref, F, 3)
+
+        out_s = apply_surface_op(op_name, a_s, b_s, order, lanes)
+        out_f = apply_surface_op(op_name, a_f, b_f, 1, lanes)
+
+        pts = points_ref[:]                     # [P, 1, 2]
+        res, scale = residual_fn(out_s, pts, lanes)
+
+        lj_store(out_s_ref, out_s, P, tile)
+        lj_store(out_f_ref, out_f, F, tile)
+        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
+        scale_ref[:] = jnp.broadcast_to(scale,
+                                        (P, tile)).astype(scale_ref.dtype)
+
+    def spec(r):
+        return pl.BlockSpec((r, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    pts_spec = pl.BlockSpec((P, 1, 2), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def run_tiles(points3, a_s, a_f, b_s=None, b_f=None):
+        n = a_s.shape[-1]
+        assert n % tile == 0, (n, tile)  # callers pad batches to the tile
+        grid = (n // tile,)
+        in_specs = [pts_spec, spec(rows_s), spec(rows_f)]
+        args = [points3, a_s, a_f]
+        if not unary:
+            in_specs += [spec(rows_s), spec(rows_f)]
+            args += [b_s, b_f]
+        out_shape = [
+            jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
+            jax.ShapeDtypeStruct((P, n), jnp.float32),
+            jax.ShapeDtypeStruct((P, n), jnp.float32),
+        ]
+        out_specs = [spec(rows_s), spec(rows_f), spec(P), spec(P)]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, interpret=interpret)(*args)
+
+    def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        n = ab_idx.shape[0]
+        a_idx = ab_idx[:, 0]
+        a_s = to_lane_major(cache_screen[a_idx], P, T)
+        a_f = to_lane_major(cache_fp[a_idx], F, 3)
+        points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
+        if unary:
+            out_s_lm, out_f_lm, res, scale = run_tiles(points3, a_s, a_f)
+        else:
+            b_idx = ab_idx[:, 1]
+            b_s = to_lane_major(cache_screen[b_idx], P, T)
+            b_f = to_lane_major(cache_fp[b_idx], F, 3)
+            out_s_lm, out_f_lm, res, scale = run_tiles(
+                points3, a_s, a_f, b_s, b_f)
+        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
+        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
+        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
+        return (pack_screen_result(sr), jets.reshape(n, -1),
+                fj.reshape(n, -1))
+
+    return jax.jit(call)

@@ -97,6 +97,13 @@ def verdicts_from_jets(jets, fj, spoints, residual_fn,
     [N,F,3].  Used by both the tape-interpreting kernel and the
     incremental per-op kernels."""
     res, scale = residual_fn(jets, spoints, jnp)          # [N,P]
+    return verdicts_from_parts(res, scale, jets, fj, screen_rtol)
+
+
+def verdicts_from_parts(res, scale, jets, fj,
+                        screen_rtol: float) -> ScreenResult:
+    """Verdicts from a precomputed (residual, scale) pair — the Pallas
+    lane-major kernel computes res/scale in-kernel and hands them here."""
     eps = jnp.asarray(1e-30, res.dtype)
     rel = jnp.abs(res) / (scale + eps)
     finite = jnp.isfinite(res) & jnp.isfinite(scale)

@@ -106,11 +106,21 @@ class DiscoveryEngine:
         self.confirm_rtol = (self.config.confirm_rtol
                              if self.config.confirm_rtol is not None
                              else problem.confirm_rtol)
-        self.fp_to_uid: Dict[Tuple[int, int], int] = {}
+        self.fp_to_uid: Dict[int, int] = {}
+        # rows are kept in memory only when no sink callback is given
+        # (standalone/test use); production streams them to the run DB and
+        # keeps counters + valid rows (a 10^7-row mega-run cannot hold
+        # every Row object)
         self.rows: List[Row] = []
+        self.n_rows = 0
+        self.last_expr = ""
+        self._keep_rows = True
+        # row id = uid + 1 + id_offset; the offset stays 0 except when a
+        # resume couldn't re-register every stored row (ids must never
+        # collide with stored ones — INSERT OR IGNORE would drop the row)
+        self.id_offset = 0
         self.stats: List[DepthStats] = []
         self.valid_rows: List[Row] = []
-        self._next_row_id = 1
         self._spoints = jnp.asarray(problem.screen_points, jnp.float32)
         self._fpoints = jnp.asarray(problem.fingerprint_points, jnp.float32)
         self.cache = JetCache(
@@ -140,23 +150,26 @@ class DiscoveryEngine:
         # crashing the resume (ADVICE.md round 1, runtime.py:226)
         return 1 << (L - 1).bit_length()
 
+    def _use_pallas(self) -> bool:
+        if self.config.use_pallas is not None:
+            return self.config.use_pallas
+        import jax
+        return jax.default_backend() != "cpu"
+
     def _op_kernel(self, op_name: str):
-        if self.mesh is not None:
-            from .parallel.incremental import make_op_kernel_sharded
-            return make_op_kernel_sharded(
-                self.mesh, op_name,
-                order=self.problem.residual_order,
-                residual_key=self.problem.get_residual_key(),
-                screen_rtol=float(self.screen_rtol),
-                n_screen=len(self.problem.screen_points),
-                n_fp=len(self.problem.fingerprint_points))
-        return make_op_kernel(
-            op_name=op_name,
+        kw = dict(
             order=self.problem.residual_order,
             residual_key=self.problem.get_residual_key(),
             screen_rtol=float(self.screen_rtol),
             n_screen=len(self.problem.screen_points),
             n_fp=len(self.problem.fingerprint_points))
+        if self.mesh is not None:
+            from .parallel.incremental import make_op_kernel_sharded
+            return make_op_kernel_sharded(self.mesh, op_name, **kw)
+        if self._use_pallas():
+            from .parallel.pallas_engine import make_pallas_op_kernel
+            return make_pallas_op_kernel(op_name, **kw)
+        return make_op_kernel(op_name=op_name, **kw)
 
     def _eval_tape_groups(self, cands: List[Candidate]):
         """Evaluate arbitrary tapes via the batched NumPy oracle (this path
@@ -212,6 +225,7 @@ class DiscoveryEngine:
         small = 8192
         npad = small if n <= small else self.config.batch_size
         npad = max(npad, n)
+        npad = pad_to_multiple(npad, 512)  # Pallas tile divisibility
         if self.mesh is not None:
             nd = self.mesh.devices.size
             npad = pad_to_multiple(max(npad, nd), nd)
@@ -238,9 +252,13 @@ class DiscoveryEngine:
                 self._spoints, self._fpoints)
         self.device_seconds += time.perf_counter() - t0
         self.candidates_screened += n
-        # NOTE: packed is still an in-flight device array — the caller
-        # unpacks (and thereby blocks) as late as possible so host work
-        # overlaps device execution
+        # packed is still an in-flight device array — start its
+        # device→host copy now so the transfer overlaps the next batch's
+        # compute; the caller unpacks (and blocks) one batch later
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
         return packed, out_s, out_f
 
     @staticmethod
@@ -373,7 +391,7 @@ class DiscoveryEngine:
             fp_to_uid[fp] = u.uid
             kept.append(j)
             st.unique += 1
-            self._verdict(cand, self._ev_at(sr, j), depth, st, on_row, fp)
+            self._verdict(u, self._ev_at(sr, j), depth, st, on_row, fp)
 
         # append the new uniques' jets to the device cache (uid order ==
         # append order, preserving the row == uid invariant)
@@ -381,27 +399,31 @@ class DiscoveryEngine:
             self._append_kept(out_s, out_f, kept)
 
     def _append_kept(self, out_s, out_f, kept: List[int]):
-        """Append the kept rows' jets to the cache.  The selection index is
-        padded to a power-of-two length (a fresh XLA compile per exact
-        survivor count dominated depth-4 wall-clock); the pad rows land
-        beyond cache.n and are overwritten by the next append."""
+        """Append the kept rows' jets to the cache — one fused dispatch
+        (gather + in-place tail update with donated cache buffers).  The
+        selection index is padded to a power-of-two length (a fresh XLA
+        compile per exact survivor count dominated depth-4 wall-clock);
+        the pad rows land beyond cache.n and are overwritten by the next
+        append."""
         import jax.numpy as jnp
         k = len(kept)
         kpad = max(256, 1 << (k - 1).bit_length())
         idx = np.zeros(kpad, np.int32)
         idx[:k] = kept
-        sel = make_select_kernel()
-        idxd = jnp.asarray(idx)
-        self.cache.append(sel(out_s, idxd), sel(out_f, idxd),
-                          real_rows=k)
+        self.cache.append_gathered(out_s, out_f, jnp.asarray(idx),
+                                   real_rows=k)
 
     def _ingest_vec(self, op_name: str, a_u: np.ndarray,
                     b_u: Optional[np.ndarray], sr: ScreenResult,
                     depth: int, st: DepthStats, on_row=None,
-                    out_s=None, out_f=None, append_cache: bool = True):
-        """Vectorized ingestion: per-candidate Python runs only for NEW
-        uniques (dedup happens at array level)."""
-        import jax.numpy as jnp
+                    out_s=None, out_f=None, append_cache: bool = True,
+                    on_rows=None, retain_strings: bool = True):
+        """Fully vectorized ingestion: dedup, unique registration, verdict
+        classification and reject-row emission all happen at array level —
+        per-candidate Python survives only for screen PASSERS (rare).
+        This was ~80% of mega-run wall-clock in round 1 (~115 µs/unique of
+        object construction, PERF.md); the reference's analogous hot loop
+        is emit_to_db (general:1251-1411)."""
         n = a_u.size
         st.candidates += n
 
@@ -416,27 +438,128 @@ class DiscoveryEngine:
         struct |= np.uint64(STRUCT_TAG)
         keys = self._fp_keys(sr, n, struct)
 
-        # within-batch first occurrences
+        # within-batch first occurrences, then filter against the global map
         _, first_idx = np.unique(keys, return_index=True)
         first_idx.sort()
-
         fp_to_uid = self.fp_to_uid
-        kept: List[int] = []
-        enum = self.enumerator
-        for j in first_idx.tolist():
-            k = int(keys[j])
-            if k in fp_to_uid:
-                continue
-            u = enum.add_unique_from_op(
-                op_name, int(a_u[j]),
-                None if b_u is None else int(b_u[j]), depth)
-            fp_to_uid[k] = u.uid
-            kept.append(j)
-            st.unique += 1
-            self._verdict(u, self._ev_at(sr, j), depth, st, on_row, k)
+        cand_keys = keys[first_idx].tolist()
+        new_local = [i for i, k in enumerate(cand_keys)
+                     if k not in fp_to_uid]
+        if not new_local:
+            return
+        new_idx = first_idx[new_local]      # batch positions of new uniques
+        k_new = int(new_idx.size)
 
-        if out_s is not None and kept and append_cache:
-            self._append_kept(out_s, out_f, kept)
+        enum = self.enumerator
+        uid0, exprs = enum.add_uniques_bulk(
+            op_name, a_u[new_idx],
+            None if b_u is None else b_u[new_idx], depth,
+            retain_strings=retain_strings)
+        for off, i in enumerate(new_local):
+            fp_to_uid[cand_keys[i]] = uid0 + off
+        st.unique += k_new
+
+        # vectorized verdict classification
+        newkeys = keys[new_idx]
+        has_var = enum.f_has_var[uid0:uid0 + k_new]
+        is_const = sr.is_const[new_idx] | ~has_var
+        nonfin = (~sr.fp_finite[new_idx] | sr.nonfinite[new_idx]) & ~is_const
+        passing = sr.screen_ok[new_idx] & ~is_const & ~nonfin
+
+        self._emit_rejects_bulk(
+            uid0, exprs, newkeys, depth, sr, new_idx,
+            is_const, nonfin, passing, on_row, on_rows)
+
+        # rich path for the (rare) screen passers: f64 recheck queue
+        pass_locals = np.nonzero(passing)[0]
+        if pass_locals.size:
+            for local in pass_locals.tolist():
+                uid = uid0 + local
+                if enum.expr_strs[uid] is None:
+                    enum.expr_strs[uid] = exprs[local]
+                    enum.wrapped_strs[uid] = exprs[local]
+                u = enum.unique_at(uid)
+                ev = self._ev_at(sr, int(new_idx[local]))
+                key = int(newkeys[local])
+                if ev["rel_max"] < self.config.f64_skip_below:
+                    self._finalize_pass(u, ev, ev["rel_max"], "screen",
+                                        depth, st, on_row, key)
+                else:
+                    self._gray.append((u, ev, key))
+
+        if out_s is not None and k_new and append_cache:
+            self._append_kept(out_s, out_f, new_idx.tolist())
+
+    _R_CONST = "Zero gradient (constant expression)"
+    _R_NONFIN = "Non-finite on safe domain (rejected)"
+    _EV_FMT = ('{"rel_max": %.6e, "screen_ok": %s, "nonfinite": %s,'
+               ' "is_const": %s, "fp_finite": %s, "n_screen_points": %d,'
+               ' "stage": "screen"}')
+
+    def _emit_rejects_bulk(self, uid0, exprs, keys, depth, sr, new_idx,
+                           is_const, nonfin, passing, on_row, on_rows):
+        """Emit the three mass reject categories (constant / non-finite /
+        screen-fail) without constructing Row objects: either as raw DB
+        tuples (production, on_rows sink) or as Rows (standalone)."""
+        store_const = self.config.store_constants
+        md = self._math_def
+        nsp = len(self.problem.screen_points)
+        rel_l = sr.rel_max[new_idx].tolist()
+        ok_l = sr.screen_ok[new_idx].tolist()
+        raw_nf_l = sr.nonfinite[new_idx].tolist()
+        raw_c_l = sr.is_const[new_idx].tolist()
+        fpf_l = sr.fp_finite[new_idx].tolist()
+        const_l = is_const.tolist()
+        nonfin_l = nonfin.tolist()
+        pass_l = passing.tolist()
+        keys_l = keys.tolist()
+        ev_fmt = self._EV_FMT
+        n_emitted = 0
+        as_tuples = on_rows is not None
+        sink: List = []
+        ap = sink.append
+        id0 = uid0 + 1 + self.id_offset
+        for local in range(len(exprs)):
+            if pass_l[local]:
+                continue
+            if const_l[local]:
+                if not store_const:
+                    continue
+                reason = self._R_CONST
+            elif nonfin_l[local]:
+                reason = self._R_NONFIN
+            else:
+                reason = ("PDE residual != 0 (screen relres ≈ %.2e)"
+                          % rel_l[local])
+            ev = ev_fmt % (
+                rel_l[local],
+                "true" if ok_l[local] else "false",
+                "true" if raw_nf_l[local] else "false",
+                "true" if raw_c_l[local] else "false",
+                "true" if fpf_l[local] else "false",
+                nsp)
+            e = exprs[local]
+            sig = "%016x" % keys_l[local]
+            n_emitted += 1
+            if as_tuples:
+                # column order must match RunDB.flush's INSERT
+                ap((id0 + local, e, e, sig, depth, "completed", 0,
+                    reason, "screen", md, ev, 0, None, None, None))
+            else:
+                row = Row(
+                    id=id0 + local, expression=e, normalized=e,
+                    signature=sig, depth=depth, is_valid=False,
+                    validation_reason=reason, validator_method="screen",
+                    validator_math=md, validator_evidence=ev)
+                if self._keep_rows:
+                    self.rows.append(row)
+                if on_row is not None:
+                    on_row(row)
+        self.n_rows += n_emitted
+        if exprs:
+            self.last_expr = exprs[-1]
+        if as_tuples and sink:
+            on_rows(sink)
 
     def _verdict(self, cand: Candidate, ev, depth: int, st: DepthStats,
                  on_row=None, key: int = 0):
@@ -517,6 +640,9 @@ class DiscoveryEngine:
         self._gray = []
         if not gray:
             return
+        # sort by tape length so each chunk pads to its own (small) max —
+        # the f64 interpreter pays O(padded length) per candidate
+        gray.sort(key=lambda t: len(t[0].tape))
         consts = self.problem.consts.as_array(np.float64)
         pts = self.problem.screen_points
         for i in range(0, len(gray), chunk):
@@ -571,7 +697,9 @@ class DiscoveryEngine:
                 len(self.problem.screen_points), method,
                 "" if rel64 is None else ', "rel_f64": %.6e' % rel64))
         row = Row(
-            id=self._next_row_id,
+            # row id == uid + 1 (stable across fresh/resumed runs — resume
+            # reloads uniques in id order and must reproduce the same uids)
+            id=cand.uid + 1 + self.id_offset,
             expression=cand.expr_str,
             normalized=cand.expr_str,
             signature=sig,
@@ -584,8 +712,10 @@ class DiscoveryEngine:
             validator_math=self._math_def,
             validator_evidence=evidence,
         )
-        self._next_row_id += 1
-        self.rows.append(row)
+        self.n_rows += 1
+        self.last_expr = cand.expr_str
+        if self._keep_rows:
+            self.rows.append(row)
         if is_valid:
             self.valid_rows.append(row)
         if on_row is not None:
@@ -598,9 +728,12 @@ class DiscoveryEngine:
 
     def run(self, max_depth: Optional[int] = None, on_row=None,
             on_depth=None, start_depth: int = 1,
-            on_batch=None) -> List[DepthStats]:
+            on_batch=None, on_rows=None) -> List[DepthStats]:
         max_depth = max_depth or self.config.max_depth
         use_incremental = self.config.engine == "incremental"
+        # keep Row objects in memory only when nobody is consuming them
+        # (standalone/test use); with a bulk sink the DB is the record
+        self._keep_rows = on_rows is None
         for depth in range(start_depth, max_depth + 1):
             t0 = time.perf_counter()
             st = DepthStats(depth=depth)
@@ -627,12 +760,15 @@ class DiscoveryEngine:
                     st.t_device += time.perf_counter() - ti
                     self.device_seconds += time.perf_counter() - ti
                     ti = time.perf_counter()
-                    # jets at the final depth never feed another level —
-                    # skipping the cache append removes the HBM ceiling
-                    # on mega-runs
+                    # jets (and display strings) at the final depth never
+                    # feed another level — skipping the cache append and
+                    # string retention removes the HBM/RAM ceiling on
+                    # mega-runs
                     self._ingest_vec(p_op, p_a, p_b, sr, depth, st,
                                      on_row, out_s, out_f,
-                                     append_cache=(depth < max_depth))
+                                     append_cache=(depth < max_depth),
+                                     on_rows=on_rows,
+                                     retain_strings=(depth < max_depth))
                     st.t_ingest += time.perf_counter() - ti
                     if on_batch is not None:
                         on_batch(st)
@@ -684,9 +820,7 @@ class DiscoveryEngine:
         """Resume path: re-evaluate all reloaded uniques' tapes and place
         their jets at their uid rows."""
         import jax.numpy as jnp
-        uniques = sorted(
-            (u for us in self.enumerator.uniques_by_depth.values()
-             for u in us), key=lambda u: u.uid)
+        uniques = self.enumerator.all_uniques()
         if not uniques:
             return
         # ensure capacity, then place rows by uid (bucket groups come back

@@ -35,6 +35,12 @@ class SearchConfig:
     # tapes (general fallback)
     engine: str = "incremental"
 
+    # Pallas lane-major fused kernels for the incremental path.  None =
+    # auto (on for TPU backends, off for CPU where the XLA path is the
+    # oracle).  The Pallas kernels also Mosaic-compile ~10x faster than
+    # the XLA fused kernel, which matters on remote-compile backends.
+    use_pallas: Optional[bool] = None
+
     # device batching (tape path buckets)
     buckets: Tuple[int, ...] = (16, 32, 64, 128, 256)
 

@@ -52,9 +52,14 @@ class RunDB:
         os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
         self.conn = sqlite3.connect(db_path)
         self.conn.execute("PRAGMA journal_mode=WAL")
+        # NORMAL in WAL mode fsyncs only at checkpoints — a process crash
+        # loses nothing (OS buffers survive), and the run is resumable
+        # anyway.  FULL was ~40% of mega-run ingest wall.
+        self.conn.execute("PRAGMA synchronous=NORMAL")
         self.conn.execute("PRAGMA busy_timeout=5000")
         self._init_schema()
         self._pending_rows: List[tuple] = []
+        self._indices_made = False
 
     # ------------------------------------------------------------------
     def _init_schema(self):
@@ -80,12 +85,6 @@ class RunDB:
                 heavy_reason TEXT,
                 heavy_validated_at DATETIME
             )""")
-        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_sig "
-                  f"ON {self.table}(signature)")
-        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_status "
-                  f"ON {self.table}(validation_status)")
-        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_depth "
-                  f"ON {self.table}(depth)")
         c.execute("""
             CREATE TABLE IF NOT EXISTS run_metadata (
                 run_id TEXT PRIMARY KEY,
@@ -145,6 +144,30 @@ class RunDB:
         if len(self._pending_rows) >= 2000:
             self.flush()
 
+    def add_row_tuples(self, tuples) -> None:
+        """Bulk sink for the pipeline's vectorized reject emission: raw
+        tuples already in the INSERT column order (see flush)."""
+        self._pending_rows.extend(tuples)
+        if len(self._pending_rows) >= 50000:
+            self.flush()
+
+    def ensure_indices(self):
+        """Secondary indices (signature/status/depth — same trio as the
+        reference, general:684-688) are created lazily: building them
+        during bulk insert roughly doubles ingest cost, so they appear at
+        completion / first read instead."""
+        if self._indices_made:
+            return
+        c = self.conn
+        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_sig "
+                  f"ON {self.table}(signature)")
+        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_status "
+                  f"ON {self.table}(validation_status)")
+        c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_depth "
+                  f"ON {self.table}(depth)")
+        c.commit()
+        self._indices_made = True
+
     def flush(self):
         if not self._pending_rows:
             return
@@ -179,6 +202,7 @@ class RunDB:
 
     def complete_run(self, status: str = "completed"):
         self.flush()
+        self.ensure_indices()
         self.conn.execute(
             "UPDATE run_metadata SET completed_at=datetime('now'), status=? "
             "WHERE run_id=?", (status, self.run_id))
@@ -208,6 +232,17 @@ class RunDB:
         self.conn.commit()
 
     # -- read side ------------------------------------------------------
+    def depth_counts(self) -> Dict[int, Dict[str, int]]:
+        """Per-depth generated/valid counts via SQL aggregate (the report
+        path for mega-runs that don't keep rows in memory)."""
+        self.flush()
+        self.ensure_indices()
+        cur = self.conn.execute(
+            f"SELECT depth, COUNT(*), COALESCE(SUM(is_valid), 0) "
+            f"FROM {self.table} GROUP BY depth ORDER BY depth")
+        return {int(d): {"generated": int(n), "valid": int(v)}
+                for d, n, v in cur.fetchall()}
+
     def counts(self) -> Dict[str, int]:
         cur = self.conn.execute(
             f"SELECT COUNT(*), SUM(validation_status='completed'), "
@@ -217,6 +252,8 @@ class RunDB:
                 "valid": valid or 0}
 
     def rows(self, where: str = "", args: tuple = ()) -> List[sqlite3.Row]:
+        self.flush()
+        self.ensure_indices()
         self.conn.row_factory = sqlite3.Row
         cur = self.conn.execute(
             f"SELECT * FROM {self.table} "

@@ -43,26 +43,40 @@ def _expr_cost(expr_str: str) -> tuple:
         return (10_000, len(expr_str))
 
 
-def build_report(problem, rows: List, stats: Optional[List] = None,
+def build_report(problem, rows: Optional[List] = None,
+                 stats: Optional[List] = None,
                  run_id: str = "", max_depth: int = 0,
                  classify_novel: bool = True,
-                 max_novel_classes: int = 200) -> Dict:
-    by_depth = defaultdict(lambda: {"generated": 0, "valid": 0})
-    valid_rows = []
+                 max_novel_classes: int = 200,
+                 by_depth_counts: Optional[Dict] = None,
+                 valid_rows: Optional[List] = None) -> Dict:
+    """Either pass ``rows`` (all rows, in-memory path) or the precomputed
+    ``by_depth_counts`` + ``valid_rows`` (SQL-aggregate path — mega-runs
+    never hold every row in memory)."""
     paper_found = {}
-    for r in rows:
-        d = r.depth if hasattr(r, "depth") else r["depth"]
-        valid = r.is_valid if hasattr(r, "is_valid") else bool(r["is_valid"])
-        by_depth[d]["generated"] += 1
-        if valid:
-            by_depth[d]["valid"] += 1
-            valid_rows.append(r)
-            name = (r.paper_solution_name if hasattr(r, "paper_solution_name")
-                    else r["paper_solution_name"])
-            if name:
-                expr = (r.expression if hasattr(r, "expression")
-                        else r["expression"])
-                paper_found.setdefault(name, expr)
+    if rows is not None:
+        by_depth = defaultdict(lambda: {"generated": 0, "valid": 0})
+        valid_rows = []
+        for r in rows:
+            d = r.depth if hasattr(r, "depth") else r["depth"]
+            valid = (r.is_valid if hasattr(r, "is_valid")
+                     else bool(r["is_valid"]))
+            by_depth[d]["generated"] += 1
+            if valid:
+                by_depth[d]["valid"] += 1
+                valid_rows.append(r)
+        total_generated = len(rows)
+    else:
+        by_depth = dict(by_depth_counts or {})
+        valid_rows = list(valid_rows or [])
+        total_generated = sum(v["generated"] for v in by_depth.values())
+    for r in valid_rows:
+        name = (r.paper_solution_name if hasattr(r, "paper_solution_name")
+                else r["paper_solution_name"])
+        if name:
+            expr = (r.expression if hasattr(r, "expression")
+                    else r["expression"])
+            paper_found.setdefault(name, expr)
 
     # Novel-class grouping (valid, non-paper)
     novel_classes = []
@@ -97,11 +111,13 @@ def build_report(problem, rows: List, stats: Optional[List] = None,
         "problem_slug": problem.slug,
         "max_depth": max_depth,
         "timestamp": time.strftime("%Y%m%d_%H%M%S"),
-        "total_generated": len(rows),
+        "total_generated": total_generated,
         "total_valid": len(valid_rows),
         "by_depth": {str(d): v for d, v in sorted(by_depth.items())},
         "paper_solutions_found": paper_found,
         "paper_solutions_expected": dict(problem.known_solutions),
+        "anchor_only_knowns": dict(
+            getattr(problem, "anchor_only_knowns", {}) or {}),
         "novel_classes": novel_classes,
         "novel_classes_note": novel_note,
         "validator": problem.describe(),
@@ -138,8 +154,15 @@ def format_report_text(report: Dict) -> str:
     lines.append("")
     expected = report["paper_solutions_expected"]
     found = report["paper_solutions_found"]
-    lines.append(f"Known (paper) solutions found: {len(found)}/{len(expected)}")
+    anchor = report.get("anchor_only_knowns", {})
+    discoverable = [n for n in expected.values() if n not in anchor]
+    n_found = sum(1 for n in discoverable if n in found)
+    lines.append(f"Known (paper) solutions found: {n_found}/"
+                 f"{len(discoverable)}")
     for name in expected.values():
+        if name in anchor and name not in found:
+            lines.append(f"  [ANCHR] {name} — {anchor[name]}")
+            continue
         mark = "FOUND" if name in found else "  -  "
         via = f"  via {found[name]}" if name in found else ""
         lines.append(f"  [{mark}] {name}{via}")

@@ -86,8 +86,7 @@ def test_expression_strings_roundtrip(ff_depth2):
     from pde_engine_tpu.ops.interpreter import eval_jets_np
     p = ff_depth2.problem
     pts = p.fingerprint_points
-    uniques = [u for us in ff_depth2.enumerator.uniques_by_depth.values()
-               for u in us]
+    uniques = ff_depth2.enumerator.all_uniques()
     for u in uniques:
         t2 = p.parse(u.expr_str)
         a = eval_jets_np(u.tape.rows, len(u.tape), p.consts.as_array(),

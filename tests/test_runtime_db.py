@@ -216,3 +216,23 @@ def test_mid_depth_resume_no_duplicates(outdir):
     # no new uniques/rows may appear — depth 2 was already fully stored
     assert resumed["total_generated"] == fresh["total_generated"]
     assert resumed["total_valid"] == fresh["total_valid"]
+
+
+def test_kerr_anchor_only_known_semantics(outdir):
+    """The Kerr monopole 1 - x solves only the a→0 limit: it must be
+    validated at its anchor (✓, not a spurious ✗) and excluded from the
+    report's found/expected discoverability count (VERDICT round 1)."""
+    from pde_engine_tpu.models import load_problem
+    from pde_engine_tpu.utils.report import format_report_text
+
+    p = load_problem("kerr_magnetosphere")
+    ok, rel, note = p.validate_known("1 - x")
+    assert ok and "anchor" in note
+    assert rel < 1e-9
+
+    run = DiscoveryRun(p, config=SearchConfig(max_depth=2), verbose=False)
+    rep = run.run(2)
+    run.close()
+    txt = format_report_text(rep)
+    assert "found: 0/0" in txt
+    assert "ANCHR" in txt
