@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--audit-kerr", action="store_true")
     p.add_argument("--heavy-validate", action="store_true",
                    help="Run heavy checks over stored rows (post-hoc)")
+    p.add_argument("--certify", action="store_true",
+                   help="Emit machine-checkable exactness certificates for "
+                        "stored rows (verify independently with "
+                        "tools/check_certificates.py)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize the multi-host JAX runtime "
+                        "(jax.distributed; configure via "
+                        "PDE_ENGINE_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID "
+                        "or rely on pod auto-detection) and shard over the "
+                        "global mesh")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR "
                         "(view with TensorBoard / xprof)")
@@ -97,7 +107,12 @@ def main(argv=None) -> int:
     )
 
     mesh = None
-    if args.devices:
+    if args.multihost:
+        from .parallel.distributed import (global_candidate_mesh,
+                                           initialize)
+        initialize()
+        mesh = global_candidate_mesh()
+    elif args.devices:
         from .parallel.mesh import candidate_mesh
         mesh = candidate_mesh(args.devices)
 
@@ -163,6 +178,8 @@ def main(argv=None) -> int:
             run.audit_kerr_candidates(scope=args.verify_scope)
         if args.heavy_validate:
             run.heavy_validate_from_db(scope=args.verify_scope)
+        if args.certify:
+            run.certify_from_db(scope=args.verify_scope)
         run.close()
         return 0
 

@@ -76,6 +76,8 @@ def make_jet_mul_pallas(order: int, n_points: int, n_tile: int = 512):
             grid=grid,
             in_specs=[spec, spec],
             out_specs=spec,
+            # Mosaic on TPU; interpret mode on the CPU test backend
+            interpret=(jax.default_backend() == "cpu"),
             cost_estimate=pl.CostEstimate(
                 flops=2 * len(sum((list(t) for _, t in _mul_pairs(order)),
                                   [])) * n_points * N,

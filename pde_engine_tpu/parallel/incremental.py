@@ -81,6 +81,30 @@ class JetCache:
             self.fp, fp_rows.astype(self.dtype), (self.n, 0))
         self.n += adv
 
+    def snapshot(self) -> dict:
+        """Host copy of the live cache rows (for the run's .jets.npz
+        sidecar).  Loading this back via :meth:`load_rows` reproduces the
+        device state bit-exactly — resume MUST restore the very same f32
+        jets the original run computed, or quantized fingerprints of
+        equivalent candidates can land in different buckets and break
+        dedup against stored keys (see runtime.DiscoveryRun.resume)."""
+        n = self.n
+        return {"screen": np.asarray(self.screen[:n]),
+                "fp": np.asarray(self.fp[:n]), "n": n}
+
+    def load_rows(self, screen_np: np.ndarray, fp_np: np.ndarray) -> None:
+        """Place host rows at [0, k) and set the logical size to k."""
+        k = int(screen_np.shape[0])
+        if k == 0:
+            return
+        if k > self.capacity:
+            self._grow(k)
+        self.screen = jax.lax.dynamic_update_slice(
+            self.screen, jnp.asarray(screen_np, self.dtype), (0, 0))
+        self.fp = jax.lax.dynamic_update_slice(
+            self.fp, jnp.asarray(fp_np, self.dtype), (0, 0))
+        self.n = k
+
     def append_gathered(self, out_s, out_f, idx, real_rows: int) -> None:
         """Select rows ``idx`` from freshly computed batch jets and append
         them at the tail — ONE fused device dispatch (gather + two in-place

@@ -66,6 +66,13 @@ def _fold_hash(keys, mult: int, seed: int):
 
 SCALE_FLOOR = 1e-25  # f32 near-underflow: below this a point is blind
 JET_TINY = 1e-20     # healthy jet coefficients are exactly 0 or above this
+# The float64 oracle paths (gray recheck, tape oracle) have ~600 decades of
+# exponent range: their floors sit far lower so that legitimately steep
+# expressions (rho^2*exp(-10 z) — a true Bent-family solution whose det
+# scale underflows f32) are judged on their actual residual instead of
+# being blind-rejected.  Measured in tests/test_screen_thresholds.py.
+SCALE_FLOOR64 = 1e-180
+JET_TINY64 = 1e-150
 
 
 def informative_points(res, scale, jets, xp):
@@ -78,16 +85,21 @@ def informative_points(res, scale, jets, xp):
     - *structural zeros* (e.g. u = rho^2, or any u(rho) alone): the Lie
       terms vanish identically through exact-zero arithmetic, so scale is
       exactly 0 while the expression's own jet is perfectly healthy.
-      Accept — the determinant is genuinely degenerate-zero there.
+      Accept — the determinant is genuinely degenerate-zero there (the
+      reference validator likewise proves these zero symbolically).
 
     A zero-scale point is informative only when the residual is exactly 0
     and every jet coefficient at the point is exactly 0 or of sane
-    magnitude (and not all zero)."""
+    magnitude (and not all zero).  Floors are dtype-aware: the f32 device
+    screen is blind below ~1e-25, the f64 oracle far lower."""
+    f64 = (hasattr(res, "dtype") and res.dtype == xp.float64)
+    scale_floor = SCALE_FLOOR64 if f64 else SCALE_FLOOR
+    jet_tiny = JET_TINY64 if f64 else JET_TINY
     abs_j = xp.abs(jets)
-    coeff_ok = (abs_j == 0.0) | (abs_j > JET_TINY)
+    coeff_ok = (abs_j == 0.0) | (abs_j > jet_tiny)
     healthy = xp.all(coeff_ok, axis=-1) & ~xp.all(abs_j == 0.0, axis=-1)
     structural = (scale == 0.0) & (res == 0.0) & healthy
-    return (scale > SCALE_FLOOR) | structural
+    return (scale > scale_floor) | structural
 
 
 def verdicts_from_jets(jets, fj, spoints, residual_fn,
@@ -109,9 +121,19 @@ def verdicts_from_parts(res, scale, jets, fj,
     finite = jnp.isfinite(res) & jnp.isfinite(scale)
     informative = informative_points(res, scale, jets, jnp)
     nonfinite_any = jnp.any(~finite, axis=-1)
-    rel_max = jnp.max(jnp.where(finite, rel, jnp.inf), axis=-1)
-    screen_ok = (~nonfinite_any) & (rel_max < screen_rtol) \
-        & jnp.all(informative, axis=-1)
+    # Evidence rule: reject on a definite nonzero residual at any
+    # informative point, or when NO point is informative (pure underflow
+    # garbage); pass when every informative point agrees the residual is
+    # zero.  A pass with some blind points is PARTIAL evidence — fine,
+    # because every screen passer gets the float64 recheck whose floors
+    # sit ~155 decades lower (f64_skip_below = 0.0 by default).
+    ok_pt = finite & informative
+    any_inform = jnp.any(ok_pt, axis=-1)
+    rel_max = jnp.where(
+        any_inform,
+        jnp.max(jnp.where(ok_pt, rel, 0.0), axis=-1),
+        jnp.inf)
+    screen_ok = (~nonfinite_any) & any_inform & (rel_max < screen_rtol)
 
     flat = fj.reshape(fj.shape[0], -1)                    # [N,F*3]
     fp_finite = jnp.all(jnp.isfinite(flat), axis=-1)
@@ -215,9 +237,14 @@ def verdicts_from_jets_np(jets, fj, spoints, residual_fn,
         finite = np.isfinite(res) & np.isfinite(scale)
         informative = informative_points(res, scale, jets, np)
         nonfinite_any = np.any(~finite, axis=-1)
-        rel_max = np.max(np.where(finite, rel, np.inf), axis=-1)
-        screen_ok = ((~nonfinite_any) & (rel_max < screen_rtol)
-                     & np.all(informative, axis=-1))
+        # same evidence rule as verdicts_from_parts (see there)
+        ok_pt = finite & informative
+        any_inform = np.any(ok_pt, axis=-1)
+        rel_max = np.where(
+            any_inform,
+            np.max(np.where(ok_pt, rel, 0.0), axis=-1),
+            np.inf)
+        screen_ok = (~nonfinite_any) & any_inform & (rel_max < screen_rtol)
 
         flat = fj.reshape(fj.shape[0], -1).astype(np.float32)
         fp_finite = np.all(np.isfinite(flat), axis=-1)

@@ -48,6 +48,26 @@ from .utils.hashing import (FP_MASK, STRUCT_TAG, op_salt, stable_hash64,
                             struct_key_for_expr)
 
 
+# A candidate counts as constant in the f64 oracle when its gradient
+# coefficients are below 1e-12 of its value magnitude at EVERY collocation
+# point — exact zeros (true constants) and cancellation noise ~1e-16
+# (constants-in-disguise like (z*(rho/z))/rho, whose composed tape keeps a
+# tiny nonzero gradient) both fall under it, while genuinely steep-decay
+# solutions (gradient comparable to value) sit orders of magnitude above.
+_CONST64_RTOL = 1e-12
+
+
+def _const_in_f64_batch(jets: np.ndarray) -> np.ndarray:
+    """Per-candidate constant flag for [N, P, T] float64 jets."""
+    grad = np.abs(jets[..., 1:3]).max(axis=(-1, -2))
+    mag = np.abs(jets[..., 0]).max(axis=-1)
+    return grad <= _CONST64_RTOL * np.maximum(mag, 1.0)
+
+
+def _const_in_f64(jets: np.ndarray) -> bool:
+    return bool(_const_in_f64_batch(jets[None])[0])
+
+
 @dataclass(slots=True)
 class Row:
     """One stored expression — column parity with the reference's
@@ -106,7 +126,16 @@ class DiscoveryEngine:
         self.confirm_rtol = (self.config.confirm_rtol
                              if self.config.confirm_rtol is not None
                              else problem.confirm_rtol)
-        self.fp_to_uid: Dict[int, int] = {}
+        # uint64 dedup-key -> uid map.  Native open-addressing map when the
+        # C++ core is available (csrc/ingest_core.cpp — ~5x faster inserts
+        # and ~10x less RAM than a dict at mega-run scale), else a dict
+        # behind the same interface.
+        from .utils.native import DedupMap
+        self.fp_to_uid = DedupMap(
+            force_python=(self.config.use_native is False))
+        # reject-row sink writing straight into the run DB via the native
+        # sqlite writer; set by DiscoveryRun when a run DB exists
+        self.native_sink = None
         # rows are kept in memory only when no sink callback is given
         # (standalone/test use); production streams them to the run DB and
         # keeps counters + valid rows (a 10^7-row mega-run cannot hold
@@ -164,6 +193,12 @@ class DiscoveryEngine:
             n_screen=len(self.problem.screen_points),
             n_fp=len(self.problem.fingerprint_points))
         if self.mesh is not None:
+            import jax
+            if jax.process_count() > 1:
+                # multi-host: all-gather verdicts + jets so every host
+                # ingests identically (parallel/distributed.py)
+                from .parallel.distributed import make_op_kernel_multihost
+                return make_op_kernel_multihost(self.mesh, op_name, **kw)
             from .parallel.incremental import make_op_kernel_sharded
             return make_op_kernel_sharded(self.mesh, op_name, **kw)
         if self._use_pallas():
@@ -325,15 +360,25 @@ class DiscoveryEngine:
                             self.problem.consts.as_array(np.float64),
                             self.problem.screen_points,
                             self.problem.residual_order)
+        # constant guard: a u whose f64 gradient vanishes (exactly, or
+        # relative to the jet magnitude — constants-in-disguise like
+        # (z*(rho/z))/rho keep cancellation noise ~1e-16 in their f64
+        # gradient) trivially zeroes the residual but is excluded by the
+        # reference's zero-gradient rule.
+        if _const_in_f64(jets):
+            return False, float("inf")
         res, scale = self.problem.residual_fn(
             jets, self.problem.screen_points, np)
         with np.errstate(invalid="ignore"):
             rel = np.abs(res) / (scale + 1e-300)
         from .parallel.search import informative_points
-        if not (np.isfinite(res).all() and np.isfinite(scale).all()
-                and informative_points(res, scale, jets, np).all()):
+        if not (np.isfinite(res).all() and np.isfinite(scale).all()):
             return False, float("inf")
-        return bool(rel.max() < self.confirm_rtol), float(rel.max())
+        ok_pt = informative_points(res, scale, jets, np)
+        if not ok_pt.any():
+            return False, float("inf")
+        relmax = float(np.where(ok_pt, rel, 0.0).max())
+        return relmax < self.confirm_rtol, relmax
 
     def _confirm_symbolic(self, cand: Candidate) -> Tuple[Optional[bool], str]:
         """Returns (verdict, method). verdict None => skipped (too large)."""
@@ -438,29 +483,24 @@ class DiscoveryEngine:
         struct |= np.uint64(STRUCT_TAG)
         keys = self._fp_keys(sr, n, struct)
 
-        # within-batch first occurrences, then filter against the global map
-        _, first_idx = np.unique(keys, return_index=True)
-        first_idx.sort()
-        fp_to_uid = self.fp_to_uid
-        cand_keys = keys[first_idx].tolist()
-        new_local = [i for i, k in enumerate(cand_keys)
-                     if k not in fp_to_uid]
-        if not new_local:
+        # global first-occurrence dedup: one native batch insert (new keys
+        # get consecutive uids in batch order; the dict fallback reproduces
+        # the same semantics via np.unique + filter)
+        enum = self.enumerator
+        new_idx = self.fp_to_uid.insert_batch(
+            keys, base_uid=enum.count_uniques())
+        if new_idx.size == 0:
             return
-        new_idx = first_idx[new_local]      # batch positions of new uniques
         k_new = int(new_idx.size)
 
-        enum = self.enumerator
         uid0, exprs = enum.add_uniques_bulk(
             op_name, a_u[new_idx],
             None if b_u is None else b_u[new_idx], depth,
             retain_strings=retain_strings)
-        for off, i in enumerate(new_local):
-            fp_to_uid[cand_keys[i]] = uid0 + off
+        newkeys = keys[new_idx]
         st.unique += k_new
 
         # vectorized verdict classification
-        newkeys = keys[new_idx]
         has_var = enum.f_has_var[uid0:uid0 + k_new]
         is_const = sr.is_const[new_idx] | ~has_var
         nonfin = (~sr.fp_finite[new_idx] | sr.nonfinite[new_idx]) & ~is_const
@@ -492,16 +532,53 @@ class DiscoveryEngine:
 
     _R_CONST = "Zero gradient (constant expression)"
     _R_NONFIN = "Non-finite on safe domain (rejected)"
-    _EV_FMT = ('{"rel_max": %.6e, "screen_ok": %s, "nonfinite": %s,'
+    _EV_FMT = ('{"rel_max": %s, "screen_ok": %s, "nonfinite": %s,'
                ' "is_const": %s, "fp_finite": %s, "n_screen_points": %d,'
                ' "stage": "screen"}')
+
+    @staticmethod
+    def _fmt_rel(x: float) -> str:
+        """JSON-parseable float: Python's json accepts Infinity/NaN
+        spellings but not bare 'inf' (%.e would emit that)."""
+        if x != x:
+            return "NaN"
+        if x == float("inf"):
+            return "Infinity"
+        if x == float("-inf"):
+            return "-Infinity"
+        return "%.6e" % x
 
     def _emit_rejects_bulk(self, uid0, exprs, keys, depth, sr, new_idx,
                            is_const, nonfin, passing, on_row, on_rows):
         """Emit the three mass reject categories (constant / non-finite /
-        screen-fail) without constructing Row objects: either as raw DB
-        tuples (production, on_rows sink) or as Rows (standalone)."""
+        screen-fail) without constructing Row objects: through the native
+        sqlite writer (production with the C++ core), as raw DB tuples
+        (production fallback, on_rows sink) or as Rows (standalone)."""
         store_const = self.config.store_constants
+        if self.native_sink is not None:
+            emit = ~passing
+            if not store_const:
+                emit &= ~is_const
+            locs = np.nonzero(emit)[0]
+            if exprs:
+                self.last_expr = exprs[-1]
+            if locs.size:
+                ll = locs.tolist()
+                blob = "\x00".join([exprs[i] for i in ll]).encode() + b"\x00"
+                sel = new_idx[locs]
+                reason_code = np.where(
+                    is_const[locs], 0,
+                    np.where(nonfin[locs], 1, 2)).astype(np.uint8)
+                self.native_sink.emit(
+                    ids=(uid0 + 1 + self.id_offset) + locs.astype(np.int64),
+                    exprs_blob=blob, sigs=keys[locs], depth=depth,
+                    reason_code=reason_code, rel=sr.rel_max[sel],
+                    screen_ok=sr.screen_ok[sel], nonfinite=sr.nonfinite[sel],
+                    is_const=sr.is_const[sel], fp_finite=sr.fp_finite[sel],
+                    n_screen_points=len(self.problem.screen_points),
+                    math_def=self._math_def.encode())
+                self.n_rows += int(locs.size)
+            return
         md = self._math_def
         nsp = len(self.problem.screen_points)
         rel_l = sr.rel_max[new_idx].tolist()
@@ -532,7 +609,7 @@ class DiscoveryEngine:
                 reason = ("PDE residual != 0 (screen relres ≈ %.2e)"
                           % rel_l[local])
             ev = ev_fmt % (
-                rel_l[local],
+                self._fmt_rel(rel_l[local]),
                 "true" if ok_l[local] else "false",
                 "true" if raw_nf_l[local] else "false",
                 "true" if raw_c_l[local] else "false",
@@ -656,11 +733,22 @@ class DiscoveryEngine:
             with np.errstate(invalid="ignore"):
                 rel = np.abs(res) / (scale + 1e-300)
             from .parallel.search import informative_points
-            finite = (np.isfinite(res) & np.isfinite(scale)).all(axis=-1) \
-                & informative_points(res, scale, jets, np).all(axis=-1)
+            ok_pt = ((np.isfinite(res) & np.isfinite(scale))
+                     & informative_points(res, scale, jets, np))
+            finite = ((np.isfinite(res) & np.isfinite(scale)).all(axis=-1)
+                      & ok_pt.any(axis=-1))
+            rel = np.where(ok_pt, rel, 0.0)
+            # constant guard (see _recheck_f64): vanishing f64 gradient at
+            # every point ⇒ constant expression, excluded by the
+            # zero-gradient rule even though it trivially zeroes the
+            # residual (the f32 screen's is_const can miss these)
+            const64 = _const_in_f64_batch(jets)
             relmax = np.where(finite, rel.max(axis=-1), np.inf)
             for j, (cand, ev, key) in enumerate(part):
-                if finite[j] and relmax[j] < self.confirm_rtol:
+                if const64[j]:
+                    self._add_row(cand, depth, False, self._R_CONST,
+                                  "screen+f64", ev, on_row, key=key)
+                elif finite[j] and relmax[j] < self.confirm_rtol:
                     self._finalize_pass(cand, ev, float(relmax[j]),
                                         "screen+f64", depth, st, on_row,
                                         key)
@@ -686,16 +774,17 @@ class DiscoveryEngine:
         # validator.py:296-306).  Hand-rolled: json.dumps per row is
         # measurable on 10^7-unique ingests.
         evidence = (
-            '{"rel_max": %.6e, "screen_ok": %s, "nonfinite": %s,'
+            '{"rel_max": %s, "screen_ok": %s, "nonfinite": %s,'
             ' "is_const": %s, "fp_finite": %s, "n_screen_points": %d,'
             ' "stage": "%s"%s}' % (
-                ev["rel_max"],
+                self._fmt_rel(ev["rel_max"]),
                 "true" if ev["screen_ok"] else "false",
                 "true" if ev["nonfinite"] else "false",
                 "true" if ev["is_const"] else "false",
                 "true" if ev["fp_finite"] else "false",
                 len(self.problem.screen_points), method,
-                "" if rel64 is None else ', "rel_f64": %.6e' % rel64))
+                "" if rel64 is None
+                else ', "rel_f64": %s' % self._fmt_rel(rel64)))
         row = Row(
             # row id == uid + 1 (stable across fresh/resumed runs — resume
             # reloads uniques in id order and must reproduce the same uids)
@@ -763,12 +852,18 @@ class DiscoveryEngine:
                     # jets (and display strings) at the final depth never
                     # feed another level — skipping the cache append and
                     # string retention removes the HBM/RAM ceiling on
-                    # mega-runs
-                    self._ingest_vec(p_op, p_a, p_b, sr, depth, st,
-                                     on_row, out_s, out_f,
-                                     append_cache=(depth < max_depth),
-                                     on_rows=on_rows,
-                                     retain_strings=(depth < max_depth))
+                    # mega-runs.  Small runs keep appending below the
+                    # final_append_limit so extension resumes stay
+                    # bit-exact (see SearchConfig).
+                    self._ingest_vec(
+                        p_op, p_a, p_b, sr, depth, st,
+                        on_row, out_s, out_f,
+                        append_cache=(
+                            depth < max_depth
+                            or self.cache.n
+                            < self.config.final_append_limit),
+                        on_rows=on_rows,
+                        retain_strings=(depth < max_depth))
                     st.t_ingest += time.perf_counter() - ti
                     if on_batch is not None:
                         on_batch(st)
@@ -816,26 +911,39 @@ class DiscoveryEngine:
                 on_depth(st)
         return self.stats
 
-    def seed_cache_from_uniques(self):
-        """Resume path: re-evaluate all reloaded uniques' tapes and place
-        their jets at their uid rows."""
+    def seed_cache_from_uniques(self, snapshot: Optional[dict] = None):
+        """Resume path: restore the jet cache for all reloaded uniques.
+
+        With a ``snapshot`` (the run's .jets.npz sidecar) the device state
+        is restored bit-exactly — REQUIRED for resumed dedup to agree with
+        stored fingerprint keys (the f32 device jets are not reproducible
+        through the f64 oracle: ~2-4% of quantized fingerprints shift).
+        Rows beyond the snapshot (uniques whose jets were never
+        device-cached, e.g. a former final depth being extended) are
+        re-evaluated through the float64 tape oracle."""
         import jax.numpy as jnp
-        uniques = self.enumerator.all_uniques()
-        if not uniques:
+        total = self.enumerator.count_uniques()
+        if total == 0:
             return
-        # ensure capacity, then place rows by uid (bucket groups come back
-        # out of uid order)
-        total = uniques[-1].uid + 1
-        if total > self.cache.capacity:
-            self.cache._grow(total)
-        pos = 0
-        for group, evals, out_s, out_f in self._eval_tape_groups(uniques):
-            uids = jnp.asarray(
-                np.asarray([u.uid for u in group], dtype=np.int32))
-            self.cache.screen = self.cache.screen.at[uids].set(
-                out_s.astype(self.cache.dtype))
-            self.cache.fp = self.cache.fp.at[uids].set(
-                out_f.astype(self.cache.dtype))
+        n0 = 0
+        if snapshot is not None:
+            n0 = min(int(snapshot["n"]), total)
+            if n0:
+                self.cache.load_rows(snapshot["screen"][:n0],
+                                     snapshot["fp"][:n0])
+        if n0 < total:
+            if total > self.cache.capacity:
+                self.cache._grow(total)
+            uniques = [self.enumerator.unique_at(i)
+                       for i in range(n0, total)]
+            for group, evals, out_s, out_f in self._eval_tape_groups(
+                    uniques):
+                uids = jnp.asarray(
+                    np.asarray([u.uid for u in group], dtype=np.int32))
+                self.cache.screen = self.cache.screen.at[uids].set(
+                    out_s.astype(self.cache.dtype))
+                self.cache.fp = self.cache.fp.at[uids].set(
+                    out_f.astype(self.cache.dtype))
         self.cache.n = max(self.cache.n, total)
 
     # ------------------------------------------------------------------

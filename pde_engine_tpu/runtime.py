@@ -45,6 +45,23 @@ class DiscoveryRun:
         self.mesh = mesh
         self.verbose = verbose
         self.engine = DiscoveryEngine(self.problem, self.config, mesh=mesh)
+        # native reject sink: mass reject rows bypass Python tuple
+        # construction and go straight into the run DB via the C++ writer
+        self._native_sink = None
+        if self.config.use_native is not False:
+            try:
+                from .utils.native import NativeRejectSink, load_core
+                if load_core() is not None:
+                    self._native_sink = NativeRejectSink(
+                        self.db_path, self.db.table)
+                    self.engine.native_sink = self._native_sink
+                elif self.config.use_native is True:
+                    raise RuntimeError("use_native=True but the native "
+                                       "core failed to build/load")
+            except Exception:
+                if self.config.use_native is True:
+                    raise
+                self._native_sink = None
 
     def _log(self, msg: str):
         if self.verbose:
@@ -104,6 +121,7 @@ class DiscoveryRun:
                 "include_special_ops": self.config.include_special_ops,
                 "prune": self.config.prune,
             })
+            self._save_jet_snapshot()
             self.db.worker_heartbeat(os.getpid(), "device",
                                      counts["validated"],
                                      errors=self.engine.errors)
@@ -158,6 +176,41 @@ class DiscoveryRun:
         self._log(f"Reports: {paths['json']}  {paths['txt']}")
         return report
 
+    # ------------------------------------------------------------------
+    @property
+    def _snapshot_path(self) -> str:
+        return self.db_path + ".jets.npz"
+
+    def _save_jet_snapshot(self):
+        """Checkpoint the device jet cache beside the run DB.  Resume loads
+        it bit-exactly so post-resume fingerprints agree with stored keys
+        (fresh f32 device jets are not reproducible via the f64 oracle)."""
+        if not self.config.snapshot_jets:
+            return
+        cache = self.engine.cache
+        nbytes = cache.n * (cache.sdim + cache.fdim) * 4
+        if nbytes > self.config.snapshot_max_bytes:
+            self._log(f"  [snapshot skipped: cache {nbytes / 2**30:.1f} GiB "
+                      "> snapshot_max_bytes; resume will re-derive jets "
+                      "in float64 (dedup keys may shift slightly)]")
+            return
+        snap = cache.snapshot()
+        tmp = self._snapshot_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **snap)
+        os.replace(tmp, self._snapshot_path)
+
+    def _load_jet_snapshot(self):
+        path = self._snapshot_path
+        if not os.path.exists(path):
+            return None
+        try:
+            with np.load(path) as z:
+                return {"screen": z["screen"], "fp": z["fp"],
+                        "n": int(z["n"])}
+        except Exception:
+            return None
+
     def _validate_knowns(self):
         """Check each known solution and print the verdicts (the
         reference's first step, general:481-499).  Anchor-only knowns
@@ -190,21 +243,41 @@ class DiscoveryRun:
         self.config.include_special_ops = bool(
             state.get("include_special_ops",
                       self.config.include_special_ops))
-        # Rebuild uniques + fingerprint map from stored rows.
-        rows = self.db.rows()
+        # Rebuild uniques + fingerprint map from stored rows — only for
+        # COMPLETED depths.  Rows from a depth that was interrupted mid-way
+        # are deliberately not registered: the re-run of that depth
+        # regenerates them deterministically (same uids, same ids, same
+        # device-computed fingerprints from the snapshot-restored parents),
+        # and INSERT OR IGNORE keeps the original rows.  Registering them
+        # up-front would give them f64-derived jets that differ from the
+        # device's, shifting quantized fingerprints (see
+        # seed_cache_from_uniques).
+        rows = (self.db.rows("depth <= ?", (completed,)) if completed
+                else self.db.rows())
         eng = self.engine
         from .enumerator import Candidate
+        # Forward-path flags are STRUCTURAL (a var leaf anywhere in the op
+        # DAG sets has_var; is_one marks only the literal depth-1 constant)
+        # while a re-parsed tape is sympy-normalized — log_mul(rho, 1)
+        # parses to the constant 0, losing its var leaf.  Re-derive the
+        # flags the forward way or the resumed enumerator prunes children
+        # the original run generated.
+        import re
+        var_pat = re.compile(
+            "|".join(rf"\b{re.escape(v)}\b" for v in self.problem.var_names))
         for r in rows:
             try:
                 tape = self.problem.parse(r["expression"])
             except Exception:
                 continue
+            depth_r = int(r["depth"])
             cand = Candidate(
-                tape=tape, depth=int(r["depth"]),
+                tape=tape, depth=depth_r,
                 expr_str=r["expression"],
                 top_op=_top_op_of(r["expression"]),
-                has_var=tape.uses_var(),
-                is_one=tape.is_const_one(self.problem.consts),
+                has_var=bool(var_pat.search(r["expression"])),
+                is_one=(depth_r == 1
+                        and tape.is_const_one(self.problem.consts)),
                 consts=self.problem.consts)
             u = eng.enumerator.add_unique(cand)
             # The signature column stores the dedup key in hex (pipeline
@@ -229,10 +302,18 @@ class DiscoveryRun:
                     validator_method=r["validator_method"] or "",
                     is_paper_solution=bool(r["is_paper_solution"]),
                     paper_solution_name=r["paper_solution_name"]))
-        eng.seed_cache_from_uniques()
+        snap = self._load_jet_snapshot()
+        if snap is not None and eng.id_offset != 0:
+            # some stored rows failed to re-register (uid != id - 1), so
+            # snapshot rows no longer align with uids — fall back to the
+            # float64 re-derivation rather than seed wrong jets
+            snap = None
+        eng.seed_cache_from_uniques(snapshot=snap)
         self._resume_start_depth = completed + 1
         self._log(f"Resumed {run_id}: {len(rows)} rows, "
-                  f"completed depth {completed}")
+                  f"completed depth {completed}"
+                  + (f", jet snapshot x{snap['n']}" if snap else
+                     ", no jet snapshot (float64 re-derivation)"))
         return self
 
     def continue_run(self, max_depth: Optional[int] = None) -> Dict:
@@ -355,6 +436,19 @@ class DiscoveryRun:
             self._log(f"audit-kerr [{scope}] {k}: {len(v)}")
         return tags
 
+    def certify_from_db(self, scope: str = "valid") -> Dict:
+        """Emit machine-checkable exactness certificates for stored rows
+        (the offline-certifier role SURVEY §7 stage 9 assigned to Lean;
+        tools/check_certificates.py re-verifies them independently)."""
+        from .utils.certify import certify_rows
+        rows = self._scoped_rows(scope)
+        out = certify_rows(self.problem, rows,
+                           self.problem.get_output_dir(),
+                           run_id=self.run_id)
+        self._log(f"certify [{scope}]: {out['n']} certificates "
+                  f"{out['counts']} -> {out['path']}")
+        return out
+
     def _scoped_rows(self, scope: str):
         if scope == "novel":
             return self.db.rows("is_valid=1 AND is_paper_solution=0")
@@ -363,6 +457,9 @@ class DiscoveryRun:
         return self.db.rows()
 
     def close(self):
+        if self._native_sink is not None:
+            self._native_sink.close()
+            self._native_sink = None
         self.db.close()
 
 

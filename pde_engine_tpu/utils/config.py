@@ -64,3 +64,25 @@ class SearchConfig:
     # sharding: number of devices to use (None -> all visible)
     n_devices: Optional[int] = None
     use_mesh: bool = False
+
+    # native C++ host-ingest core (csrc/ingest_core.cpp): dedup hash map +
+    # direct-sqlite reject sink.  None = auto (use when it builds/loads);
+    # False = pure Python; True = require (raises if unavailable).
+    use_native: Optional[bool] = None
+
+    # Checkpoint the device jet cache to <db>.jets.npz at each depth
+    # completion.  Resume loads it bit-exactly — required for resumed runs
+    # to reproduce the original run's f32 fingerprints (without it, resume
+    # re-derives jets through the f64 oracle and ~2-4% of quantized
+    # fingerprint keys shift, mis-deduping against stored signatures).
+    snapshot_jets: bool = True
+    # Skip the snapshot once the cache exceeds this many bytes (mega-runs;
+    # a skipped snapshot only costs resume exactness, noted in the log).
+    snapshot_max_bytes: int = 4 << 30
+
+    # Final-depth uniques never feed deeper levels within the same run, so
+    # their jets normally skip the cache (60%+ of a mega-run's uniques —
+    # this is the HBM ceiling saver).  Appending them while the cache is
+    # below this row count keeps *extension* resumes (--max-depth deeper
+    # than the original run) bit-exact for small/medium runs.
+    final_append_limit: int = 2_000_000

@@ -1,0 +1,292 @@
+"""ctypes binding for the native host-ingest core (csrc/ingest_core.cpp).
+
+The core is compiled with g++ at first use and cached under ``build/`` keyed
+by a source digest — no pip, no pybind11 (not in the image).  Everything here
+degrades gracefully: if the compiler or libsqlite3 is missing, callers get
+``None`` from :func:`load_core` and fall back to the pure-Python paths
+(pipeline keeps a dict dedup map and tuple-based row emission), so the
+package works on any host while the native core doubles ingest throughput on
+the production path.
+
+The reference's analogous component is its host-side record keeping — the
+emit_to_db hot loop + writer process (general_method_paper_reproduction.py:
+1251-1411, 1109-1220), which were pure Python over queues.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import glob
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_core = None
+_core_tried = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _find_sqlite_lib() -> Optional[str]:
+    cands = []
+    for pat in ("/lib/*/libsqlite3.so*", "/usr/lib/*/libsqlite3.so*",
+                "/usr/lib/libsqlite3.so*", "/usr/local/lib/libsqlite3.so*"):
+        cands += glob.glob(pat)
+    if cands:
+        return sorted(cands)[0]
+    try:
+        out = subprocess.run(["ldconfig", "-p"], capture_output=True,
+                             text=True, timeout=10).stdout
+        for line in out.splitlines():
+            if "libsqlite3.so" in line and "=>" in line:
+                return line.split("=>")[-1].strip()
+    except Exception:
+        pass
+    return None
+
+
+def _build(src: str, out_so: str) -> bool:
+    sqlite = _find_sqlite_lib()
+    if sqlite is None:
+        return False
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src,
+           "-o", out_so, sqlite]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if r.returncode != 0:
+        sys.stderr.write(f"[native] build failed:\n{r.stderr[:2000]}\n")
+        return False
+    return True
+
+
+def load_core() -> Optional[ct.CDLL]:
+    """Load (building if needed) the native core; None when unavailable."""
+    global _core, _core_tried
+    with _lock:
+        if _core_tried:
+            return _core
+        _core_tried = True
+        if os.environ.get("PDE_ENGINE_NO_NATIVE"):
+            return None
+        src = os.path.join(_repo_root(), "csrc", "ingest_core.cpp")
+        if not os.path.exists(src):
+            return None
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        build_dir = os.path.join(_repo_root(), "build")
+        os.makedirs(build_dir, exist_ok=True)
+        so = os.path.join(build_dir, f"libpde_ingest_{digest}.so")
+        if not os.path.exists(so):
+            tmp = so + f".tmp{os.getpid()}"
+            if not _build(src, tmp):
+                return None
+            os.replace(tmp, so)
+        try:
+            lib = ct.CDLL(so)
+        except OSError:
+            return None
+        _declare(lib)
+        _core = lib
+        return _core
+
+
+def _declare(lib: ct.CDLL):
+    u64p = ct.POINTER(ct.c_uint64)
+    i64p = ct.POINTER(ct.c_int64)
+    lib.dm_new.restype = ct.c_void_p
+    lib.dm_new.argtypes = [ct.c_uint64]
+    lib.dm_free.argtypes = [ct.c_void_p]
+    lib.dm_size.restype = ct.c_int64
+    lib.dm_size.argtypes = [ct.c_void_p]
+    lib.dm_insert_batch.restype = ct.c_int64
+    lib.dm_insert_batch.argtypes = [ct.c_void_p, u64p, ct.c_int64,
+                                    ct.c_int64, i64p]
+    lib.dm_get.restype = ct.c_int64
+    lib.dm_get.argtypes = [ct.c_void_p, ct.c_uint64]
+    lib.dm_set.argtypes = [ct.c_void_p, ct.c_uint64, ct.c_int64]
+    lib.dm_items.argtypes = [ct.c_void_p, u64p, i64p]
+    lib.idb_open.restype = ct.c_void_p
+    lib.idb_open.argtypes = [ct.c_char_p, ct.c_char_p]
+    lib.idb_error.restype = ct.c_char_p
+    lib.idb_error.argtypes = [ct.c_void_p]
+    lib.idb_close.argtypes = [ct.c_void_p]
+    lib.idb_emit_rejects.restype = ct.c_int64
+    lib.idb_emit_rejects.argtypes = [
+        ct.c_void_p, ct.c_int64, i64p, ct.c_char_p, u64p, ct.c_int32,
+        ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_float),
+        ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint8),
+        ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint8),
+        ct.c_int32, ct.c_char_p]
+
+
+def _as_ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ct.POINTER(ctype))
+
+
+class DedupMap:
+    """uint64 -> uid map with dict-compatible surface.
+
+    Backed by the native open-addressing map when the core is available,
+    else by a plain dict.  ``insert_batch`` is the hot call: first
+    occurrences of absent keys get consecutive uids in batch order
+    (identical semantics to the np.unique + dict filter in
+    pipeline._ingest_vec round 1-2).
+    """
+
+    def __init__(self, core: Optional[ct.CDLL] = None,
+                 cap_hint: int = 1 << 16, force_python: bool = False):
+        self._core = None if force_python else (
+            core if core is not None else load_core())
+        if self._core is not None:
+            self._h = self._core.dm_new(ct.c_uint64(cap_hint))
+            self._d = None
+        else:
+            self._h = None
+            self._d = {}
+
+    @property
+    def native(self) -> bool:
+        return self._d is None
+
+    def insert_batch(self, keys: np.ndarray, base_uid: int) -> np.ndarray:
+        """Insert ``keys`` (uint64); absent keys get uids base_uid+0.. in
+        first-occurrence order.  Returns the batch positions of new keys."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        n = keys.size
+        if self._d is not None:
+            # vectorized within-batch dedup, then filter vs the dict —
+            # the same shape as the round-1 Python hot path
+            _, first_idx = np.unique(keys, return_index=True)
+            first_idx.sort()
+            d = self._d
+            out = []
+            nb = base_uid
+            for i in first_idx.tolist():
+                k = int(keys[i])
+                if k not in d:
+                    d[k] = nb
+                    nb += 1
+                    out.append(i)
+            return np.asarray(out, dtype=np.int64)
+        out = np.empty(n, dtype=np.int64)
+        n_new = self._core.dm_insert_batch(
+            self._h, _as_ptr(keys, ct.c_uint64), ct.c_int64(n),
+            ct.c_int64(base_uid), _as_ptr(out, ct.c_int64))
+        return out[:n_new]
+
+    def __contains__(self, key: int) -> bool:
+        if self._d is not None:
+            return key in self._d
+        return self._core.dm_get(self._h, ct.c_uint64(key)) >= 0
+
+    def __setitem__(self, key: int, val: int):
+        if self._d is not None:
+            self._d[key] = val
+        else:
+            self._core.dm_set(self._h, ct.c_uint64(key), ct.c_int64(val))
+
+    def __getitem__(self, key: int) -> int:
+        if self._d is not None:
+            return self._d[key]
+        v = self._core.dm_get(self._h, ct.c_uint64(key))
+        if v < 0:
+            raise KeyError(key)
+        return int(v)
+
+    def get(self, key: int, default=None):
+        if self._d is not None:
+            return self._d.get(key, default)
+        v = self._core.dm_get(self._h, ct.c_uint64(key))
+        return default if v < 0 else int(v)
+
+    def __len__(self) -> int:
+        if self._d is not None:
+            return len(self._d)
+        return int(self._core.dm_size(self._h))
+
+    def items(self):
+        if self._d is not None:
+            return list(self._d.items())
+        n = len(self)
+        ks = np.empty(n, dtype=np.uint64)
+        vs = np.empty(n, dtype=np.int64)
+        if n:
+            self._core.dm_items(self._h, _as_ptr(ks, ct.c_uint64),
+                                _as_ptr(vs, ct.c_int64))
+        return list(zip(ks.tolist(), vs.tolist()))
+
+    def __del__(self):
+        core, h = getattr(self, "_core", None), getattr(self, "_h", None)
+        if core is not None and h is not None:
+            try:
+                core.dm_free(h)
+            except Exception:
+                pass
+
+
+class NativeRejectSink:
+    """Reject rows straight into the run DB via the native prepared-statement
+    writer.  One call per candidate batch; its own transaction."""
+
+    def __init__(self, db_path: str, table: str):
+        core = load_core()
+        if core is None:
+            raise RuntimeError("native core unavailable")
+        self._core = core
+        self._h = core.idb_open(db_path.encode(), table.encode())
+        err = core.idb_error(self._h)
+        if err:
+            msg = err.decode()
+            core.idb_close(self._h)
+            self._h = None
+            raise RuntimeError(f"native sink: {msg}")
+
+    def emit(self, ids: np.ndarray, exprs_blob: bytes, sigs: np.ndarray,
+             depth: int, reason_code: np.ndarray, rel: np.ndarray,
+             screen_ok: np.ndarray, nonfinite: np.ndarray,
+             is_const: np.ndarray, fp_finite: np.ndarray,
+             n_screen_points: int, math_def: bytes) -> int:
+        n = ids.size
+        if n == 0:
+            return 0
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+        reason_code = np.ascontiguousarray(reason_code, dtype=np.uint8)
+        rel = np.ascontiguousarray(rel, dtype=np.float32)
+        b8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)  # noqa: E731
+        r = self._core.idb_emit_rejects(
+            self._h, ct.c_int64(n), _as_ptr(ids, ct.c_int64), exprs_blob,
+            _as_ptr(sigs, ct.c_uint64), ct.c_int32(depth),
+            _as_ptr(reason_code, ct.c_uint8), _as_ptr(rel, ct.c_float),
+            _as_ptr(b8(screen_ok), ct.c_uint8),
+            _as_ptr(b8(nonfinite), ct.c_uint8),
+            _as_ptr(b8(is_const), ct.c_uint8),
+            _as_ptr(b8(fp_finite), ct.c_uint8),
+            ct.c_int32(n_screen_points), math_def)
+        if r < 0:
+            raise RuntimeError(
+                "native emit failed: "
+                + self._core.idb_error(self._h).decode())
+        return int(r)
+
+    def close(self):
+        if self._h is not None:
+            self._core.idb_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

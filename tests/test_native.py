@@ -1,0 +1,178 @@
+"""Native host-ingest core (csrc/ingest_core.cpp): equivalence with the
+pure-Python paths it replaces.
+
+The native core is optional (graceful fallback when g++/libsqlite3 are
+missing), so these tests skip rather than fail when it can't build — but in
+CI-like environments with the toolchain they pin down:
+- DedupMap batch-insert semantics == the dict + np.unique path
+- the sqlite reject sink writes byte-identical rows to the Python sink
+"""
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from pde_engine_tpu.utils.native import DedupMap, load_core
+
+native_available = load_core() is not None
+needs_native = pytest.mark.skipif(not native_available,
+                                  reason="native core unavailable")
+
+
+# ---------------------------------------------------------------------------
+# DedupMap
+# ---------------------------------------------------------------------------
+
+@needs_native
+def test_dedupmap_batch_semantics_match_python():
+    rng = np.random.default_rng(7)
+    nmap, pmap = DedupMap(), DedupMap(force_python=True)
+    base = 0
+    for _ in range(5):
+        # heavy duplication within and across batches
+        keys = rng.integers(0, 5000, size=20_000).astype(np.uint64)
+        a = nmap.insert_batch(keys, base_uid=base)
+        b = pmap.insert_batch(keys, base_uid=base)
+        assert np.array_equal(a, b)
+        base += a.size
+    assert len(nmap) == len(pmap)
+    assert sorted(nmap.items()) == sorted(pmap.items())
+
+
+@needs_native
+def test_dedupmap_dict_interface():
+    m = DedupMap()
+    assert len(m) == 0
+    m[12345] = 7
+    assert 12345 in m and m[12345] == 7 and m.get(12345) == 7
+    assert 999 not in m and m.get(999) is None
+    with pytest.raises(KeyError):
+        m[999]
+    m[12345] = 8  # overwrite
+    assert m[12345] == 8 and len(m) == 1
+    # extreme keys (bit 63 set — structural tag space)
+    k = (1 << 63) | 42
+    m[k] = 3
+    assert m[k] == 3
+    m[0] = 1  # zero key must be representable
+    assert m[0] == 1
+
+
+@needs_native
+def test_dedupmap_growth_keeps_entries():
+    m = DedupMap(cap_hint=4)
+    keys = np.arange(100_000, dtype=np.uint64) * np.uint64(2654435761)
+    new = m.insert_batch(keys, base_uid=0)
+    assert new.size == 100_000
+    assert len(m) == 100_000
+    # spot-check round trips after many growths
+    for i in (0, 1, 99_999, 50_000):
+        assert m[int(keys[i])] == i
+
+
+def test_dedupmap_python_fallback_works():
+    m = DedupMap(force_python=True)
+    assert not m.native
+    keys = np.array([3, 3, 4], dtype=np.uint64)
+    assert np.array_equal(m.insert_batch(keys, 10), [0, 2])
+    assert m[3] == 10 and m[4] == 11
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: native sink rows == Python sink rows
+# ---------------------------------------------------------------------------
+
+def _run_rows(tmp_path, native: bool):
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+    cfg = SearchConfig(max_depth=2, use_native=native, use_pallas=False)
+    sub = tmp_path / ("native" if native else "python")
+    sub.mkdir()
+    run = DiscoveryRun("force_free", cfg, verbose=False,
+                       db_path=str(sub / "run.db"))
+    run.run()
+    rows = [(r["id"], r["expression"], r["normalized"], r["signature"],
+             r["depth"], r["validation_status"], r["is_valid"],
+             r["validation_reason"], r["validator_method"],
+             r["validator_math"], r["validator_evidence"])
+            for r in run.db.rows()]
+    run.close()
+    return rows
+
+
+@needs_native
+def test_native_sink_rows_identical_to_python(tmp_path):
+    rows_n = _run_rows(tmp_path, native=True)
+    rows_p = _run_rows(tmp_path, native=False)
+    assert len(rows_n) == len(rows_p) > 0
+    assert rows_n == rows_p
+
+
+@needs_native
+def test_native_run_has_reject_and_valid_rows(tmp_path):
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+    cfg = SearchConfig(max_depth=3, use_native=True, use_pallas=False)
+    run = DiscoveryRun("force_free", cfg, verbose=False,
+                       db_path=str(tmp_path / "r.db"))
+    rep = run.run()
+    assert rep["total_valid"] > 0
+    con = sqlite3.connect(str(tmp_path / "r.db"))
+    n_reject, = con.execute(
+        f"SELECT COUNT(*) FROM {run.db.table} WHERE is_valid=0").fetchone()
+    n_valid, = con.execute(
+        f"SELECT COUNT(*) FROM {run.db.table} WHERE is_valid=1").fetchone()
+    ev, = con.execute(
+        f"SELECT validator_evidence FROM {run.db.table} "
+        "WHERE is_valid=0 AND validator_evidence IS NOT NULL LIMIT 1"
+    ).fetchone()
+    con.close()
+    assert n_reject > 0 and n_valid == rep["total_valid"]
+    import json
+    d = json.loads(ev)  # native-formatted JSON must parse
+    assert d["stage"] == "screen" and "rel_max" in d
+    run.close()
+
+
+@needs_native
+def test_native_resume_matches_fresh(tmp_path):
+    """An extended resumed run reproduces a fresh run EXACTLY row-for-row
+    (ids, expressions, signatures, verdicts): the jet-cache snapshot
+    restores the original device f32 jets bit-exactly, so post-resume
+    fingerprint keys agree with stored signatures.  Only the f64-recheck
+    relres inside the human-readable reason text may differ (resumed
+    parent tapes are sympy-normalized re-parses with different f64 op
+    order at the 1e-16 level)."""
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+    cfg = SearchConfig(max_depth=2, use_native=True, use_pallas=False)
+    a = DiscoveryRun("force_free", cfg, verbose=False,
+                     db_path=str(tmp_path / "a.db"))
+    a.run()
+    run_id = a.run_id
+    a.close()
+    assert (tmp_path / "a.db.jets.npz").exists()
+
+    def key_cols(run):
+        return [(r["id"], r["expression"], r["signature"], r["depth"],
+                 r["is_valid"], r["validator_method"],
+                 r["is_paper_solution"]) for r in run.db.rows()]
+
+    b = DiscoveryRun.resume("force_free", run_id,
+                            SearchConfig(max_depth=3, use_native=True,
+                                         use_pallas=False),
+                            db_path=str(tmp_path / "a.db"), verbose=False)
+    b.continue_run(max_depth=3)
+    rows_b = key_cols(b)
+    b.close()
+
+    fresh = DiscoveryRun("force_free",
+                         SearchConfig(max_depth=3, use_native=True,
+                                      use_pallas=False),
+                         verbose=False, db_path=str(tmp_path / "c.db"))
+    fresh.run()
+    rows_c = key_cols(fresh)
+    fresh.close()
+    assert rows_b == rows_c

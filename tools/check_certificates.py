@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Independent certificate checker.
+
+Verifies a certificates_<ts>.json file (utils/certify.py) using ONLY the
+file's contents and SymPy — no engine imports.  The residual operators are
+re-derived here from the PDE definitions (independently written, so a bug
+in the engine's residual cannot self-certify):
+
+  force_free  det[[L_T A, L_T B],[L2_T A, L2_T B]],  A = u_rr + u_zz - u_r/r,
+              B = u_r^2 + u_z^2, T = u_z d_r - u_r d_z  (Compère Eq 2.14)
+  kerr        d_r[(G/(1-x^2)) u_r] + d_x[(G/D) u_x],  D = r^2-2Mr+a^2,
+              G = 1 - 2Mr/(r^2+a^2 x^2), M=1, a=1/10
+  laplace     u_rr + u_r/r + u_zz   (axisymmetric)
+  grad_shafranov  u_rr - u_r/r + u_zz
+
+Usage: python tools/check_certificates.py <certificates.json> [--limit N]
+Exit code 0 iff every checked certificate's claim is reproduced.
+"""
+
+import argparse
+import json
+import sys
+
+import sympy as sp
+
+
+def _locals_map(v0, v1):
+    return {
+        str(v0): v0, str(v1): v1,
+        "neg": lambda x: -x,
+        "inv": lambda x: 1 / x,
+        "square": lambda x: x**2,
+        "pow_3_2": lambda x: x**sp.Rational(3, 2),
+        "pow_neg_3_2": lambda x: x**sp.Rational(-3, 2),
+        "exp_neg": lambda x: sp.exp(-x),
+        "geom_sum": lambda x, y: x / (1 - y),
+        "sqrt_shift_neg": lambda x, y: sp.sqrt((x - 1)**2 + y**2),
+        "sqrt_shift_pos": lambda x, y: sp.sqrt((x + 1)**2 + y**2),
+        "exp_mul": lambda x, y: x * sp.exp(y),
+        "log_mul": lambda x, y: x * sp.log(y),
+        "a": sp.Rational(1, 10), "M": sp.Integer(1),
+        "Omega": sp.Symbol("Omega"),
+    }
+
+
+def residual_for(problem_name, u, v0, v1):
+    name = problem_name.lower()
+    if "force" in name or "foliation" in name:
+        rho, z = v0, v1
+        ur, uz = u.diff(rho), u.diff(z)
+        A = u.diff(rho, 2) + u.diff(z, 2) - ur / rho
+        B = ur**2 + uz**2
+
+        def LT(f):
+            return uz * f.diff(rho) - ur * f.diff(z)
+        return LT(A) * LT(LT(B)) - LT(B) * LT(LT(A))
+    if "kerr" in name:
+        r, x = v0, v1
+        M, a = sp.Integer(1), sp.Rational(1, 10)
+        D = r**2 - 2 * M * r + a**2
+        G = 1 - 2 * M * r / (r**2 + a**2 * x**2)
+        return (sp.diff(G / (1 - x**2) * u.diff(r), r)
+                + sp.diff(G / D * u.diff(x), x))
+    if "laplace" in name:
+        r, z = v0, v1
+        return u.diff(r, 2) + u.diff(r) / r + u.diff(z, 2)
+    if "shafranov" in name:
+        r, z = v0, v1
+        return u.diff(r, 2) - u.diff(r) / r + u.diff(z, 2)
+    raise ValueError(f"unknown problem {problem_name}")
+
+
+def check(doc, limit=None):
+    v0, v1 = (sp.Symbol(n, real=True, positive=True)
+              for n in doc["variables"])
+    loc = _locals_map(v0, v1)
+    certs = doc["certificates"][:limit] if limit else doc["certificates"]
+    bad = []
+    for i, c in enumerate(certs):
+        proof = c.get("proof")
+        if proof == "open":
+            continue  # no claim to check
+        try:
+            u = sp.sympify(c["expression"], locals=loc)
+            lhs = residual_for(doc["problem"], u, v0, v1)
+        except Exception as e:
+            bad.append((i, c["expression"], f"parse/residual: {e}"))
+            continue
+        if proof in ("cancel-zero", "simplify-zero"):
+            try:
+                q = sp.together(sp.cancel(lhs))
+                ok = (q == 0) or (sp.simplify(q) == 0)
+            except Exception as e:
+                bad.append((i, c["expression"], f"simplify error: {e}"))
+                continue
+            if not ok:
+                bad.append((i, c["expression"],
+                            "claimed zero residual does NOT simplify to 0"))
+        elif proof == "evalf-zero":
+            # numeric tier: residual < 1e-30 at 50 digits at every point
+            ok = True
+            for s in c.get("spot_checks", []):
+                a, b = (sp.Rational(p) for p in s["point"])
+                try:
+                    val = sp.N(lhs.subs({v0: a, v1: b}), 50)
+                    if abs(complex(val)) > 1e-30:
+                        ok = False
+                        break
+                except Exception:
+                    ok = False
+                    break
+            if not ok:
+                bad.append((i, c["expression"],
+                            "evalf-zero claim did not reproduce at 50 "
+                            "digits"))
+        elif proof == "refuted":
+            # verify at the recorded nonzero spot check
+            confirmed = False
+            for s in c.get("spot_checks", []):
+                if s["value"] in ("0",) or s["value"].startswith("error"):
+                    continue
+                a, b = (sp.Rational(p) for p in s["point"])
+                val = sp.N(lhs.subs({v0: a, v1: b}), 30)
+                try:
+                    if abs(complex(val)) > 1e-25:
+                        confirmed = True
+                        break
+                except (TypeError, ValueError):
+                    continue
+            if not confirmed:
+                bad.append((i, c["expression"],
+                            "refutation spot check did not reproduce"))
+    return bad, len(certs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="check only the first N certificates")
+    args = ap.parse_args()
+    with open(args.path) as f:
+        doc = json.load(f)
+    bad, n = check(doc, args.limit)
+    print(f"checked {n} certificates from {args.path}: "
+          f"{n - len(bad)} reproduced, {len(bad)} FAILED")
+    for i, expr, why in bad[:20]:
+        print(f"  [{i}] {expr}: {why}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
