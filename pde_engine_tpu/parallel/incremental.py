@@ -42,19 +42,25 @@ class JetCache:
     """
 
     def __init__(self, n_screen: int, t_screen: int, n_fp: int,
-                 initial_capacity: int = 1 << 14, dtype=jnp.float32):
+                 initial_capacity: int = 1 << 14, dtype=jnp.float32,
+                 grow_quantum: Optional[int] = None):
         self.sdim = n_screen * t_screen
         self.fdim = n_fp * 3
         self.n = 0
         self.capacity = initial_capacity
         self.dtype = dtype
+        # Capacity growth quantum.  Every distinct capacity is a distinct
+        # operand shape for the (large) universal op kernel — on a
+        # tunneled TPU each new shape costs a multi-second executable
+        # load even on a persistent-cache hit, so capacities move in big
+        # aligned steps instead of doubling from a small base.
+        self.grow_quantum = grow_quantum or 4 * initial_capacity
         self.screen = jnp.zeros((initial_capacity, self.sdim), dtype=dtype)
         self.fp = jnp.zeros((initial_capacity, self.fdim), dtype=dtype)
 
     def _grow(self, need: int):
-        new_cap = self.capacity
-        while new_cap < need:
-            new_cap *= 2
+        q = self.grow_quantum
+        new_cap = max(self.capacity * 2, -(-need // q) * q)
         pad_s = jnp.zeros((new_cap - self.capacity, self.sdim),
                           dtype=self.dtype)
         pad_f = jnp.zeros((new_cap - self.capacity, self.fdim),

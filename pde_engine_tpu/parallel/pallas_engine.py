@@ -37,12 +37,13 @@ from .search import _RESIDUALS, pack_screen_result, verdicts_from_parts
 TILE = 512
 
 
-@functools.lru_cache(maxsize=None)
-def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
-                          screen_rtol: float, n_screen: int, n_fp: int,
-                          tile: int = TILE, interpret: bool = False):
-    """Fused gather→op→residual kernel for one surface op; call signature
-    matches incremental.make_op_kernel."""
+def _op_tile_runner(op_name: str, order: int, residual_key: str,
+                    n_screen: int, n_fp: int, tile: int,
+                    interpret: bool):
+    """Pallas tile runner for ONE surface op with the UNIVERSAL signature
+    (points3, a_s, a_f, b_s, b_f) -> (out_s_lm, out_f_lm, res, scale) —
+    unary ops ignore the b operands so every op fits one lax.switch
+    branch shape."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -85,7 +86,7 @@ def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
     pts_spec = pl.BlockSpec((P, 1, 2), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def run_tiles(points3, a_s, a_f, b_s=None, b_f=None):
+    def run_tiles(points3, a_s, a_f, b_s, b_f):
         n = a_s.shape[-1]
         assert n % tile == 0, (n, tile)  # callers pad batches to the tile
         grid = (n // tile,)
@@ -105,20 +106,48 @@ def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret)(*args)
 
-    def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+    return run_tiles
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_universal_kernel(order: int, residual_key: str,
+                                 screen_rtol: float, n_screen: int,
+                                 n_fp: int, tile: int = TILE,
+                                 interpret: bool = False):
+    """ONE jitted executable for ALL surface ops: gather both operands,
+    ``lax.switch`` on a traced op id into the op's Pallas tile kernel,
+    then the shared verdict/fingerprint packing.
+
+    One executable instead of 18 matters on a tunneled TPU for the same
+    reason as the XLA universal kernel (incremental.py): each executable's
+    FIRST use pays a multi-second serialized-executable load even when
+    the persistent compile cache hits — per-op Pallas jits were ~70 s of
+    a warm depth-4 run's device wall."""
+    from .incremental import OP_ORDER  # shared switch-branch order
+
+    T = n_coeffs(order)
+    P = n_screen
+    F = n_fp
+    runners = [
+        _op_tile_runner(name, order, residual_key, P, F, tile, interpret)
+        for name in OP_ORDER]
+
+    def call(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints):
         n = ab_idx.shape[0]
         a_idx = ab_idx[:, 0]
+        b_idx = ab_idx[:, 1]
         a_s = to_lane_major(cache_screen[a_idx], P, T)
         a_f = to_lane_major(cache_fp[a_idx], F, 3)
+        b_s = to_lane_major(cache_screen[b_idx], P, T)
+        b_f = to_lane_major(cache_fp[b_idx], F, 3)
         points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
-        if unary:
-            out_s_lm, out_f_lm, res, scale = run_tiles(points3, a_s, a_f)
-        else:
-            b_idx = ab_idx[:, 1]
-            b_s = to_lane_major(cache_screen[b_idx], P, T)
-            b_f = to_lane_major(cache_fp[b_idx], F, 3)
-            out_s_lm, out_f_lm, res, scale = run_tiles(
-                points3, a_s, a_f, b_s, b_f)
+
+        def branch(run):
+            return lambda ops: run(*ops)
+
+        out_s_lm, out_f_lm, res, scale = jax.lax.switch(
+            op_id, [branch(r) for r in runners],
+            (points3, a_s, a_f, b_s, b_f))
         jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
         fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
         sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
@@ -126,3 +155,22 @@ def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
                 fj.reshape(n, -1))
 
     return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
+                          screen_rtol: float, n_screen: int, n_fp: int,
+                          tile: int = TILE, interpret: bool = False):
+    """Per-op view of the universal Pallas kernel (same jitted executable
+    for every op — the op id is a traced scalar); call signature matches
+    incremental.make_op_kernel."""
+    from .incremental import OP_INDEX
+
+    uni = make_pallas_universal_kernel(order, residual_key, screen_rtol,
+                                       n_screen, n_fp, tile, interpret)
+    op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
+
+    def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        return uni(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints)
+
+    return call

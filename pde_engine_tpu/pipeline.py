@@ -31,6 +31,7 @@ SURVEY.md, while fixing its treat-unevaluable-as-zero defect):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -106,6 +107,29 @@ class DepthStats:
     t_gray: float = 0.0       # batched f64 rechecks
 
 
+# Fine-grained ingest sub-timers (PDE_INGEST_TIMERS=1): wall per section of
+# _ingest_vec, printed by the runtime after each depth.  Diagnostic only.
+_INGEST_TIMERS: Dict[str, float] = {}
+_TIME_INGEST = bool(os.environ.get("PDE_INGEST_TIMERS"))
+
+
+class _Section:
+    __slots__ = ("key", "t0")
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __enter__(self):
+        if _TIME_INGEST:
+            self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if _TIME_INGEST:
+            _INGEST_TIMERS[self.key] = (
+                _INGEST_TIMERS.get(self.key, 0.0)
+                + time.perf_counter() - self.t0)
+
+
 class DiscoveryEngine:
 
     def __init__(self, problem: Problem, config: Optional[SearchConfig] = None,
@@ -152,10 +176,19 @@ class DiscoveryEngine:
         self.valid_rows: List[Row] = []
         self._spoints = jnp.asarray(problem.screen_points, jnp.float32)
         self._fpoints = jnp.asarray(problem.fingerprint_points, jnp.float32)
+        # On a real accelerator, start the jet cache big enough that a
+        # depth-4 run never reallocates: every distinct capacity is a new
+        # operand shape for the op kernel, and each shape costs a
+        # multi-second executable load through the tunnel (even with the
+        # persistent compile cache).  ~550 B/row ⇒ 1M rows ≈ 0.55 GB HBM.
+        import jax as _jax
+        on_accel = _jax.default_backend() not in ("cpu",)
         self.cache = JetCache(
             n_screen=len(problem.screen_points),
             t_screen=n_coeffs(problem.residual_order),
-            n_fp=len(problem.fingerprint_points))
+            n_fp=len(problem.fingerprint_points),
+            initial_capacity=(1 << 20) if on_accel else (1 << 14),
+            grow_quantum=(1 << 20) if on_accel else None)
         self._known_fp: Dict[str, np.ndarray] = {}
         self._known_sympy = {}
         self.candidates_screened = 0
@@ -163,6 +196,10 @@ class DiscoveryEngine:
         self.errors = 0  # host-side validation errors (reference counted
         #                  per-worker errors, general:1139-1151)
         self._gray: List[Tuple[Candidate, dict, int]] = []
+        # one overlap worker for the gray f64 numerics (see _gray_numeric)
+        from concurrent.futures import ThreadPoolExecutor
+        self._gray_pool = ThreadPoolExecutor(max_workers=1)
+        self._gray_done: List = []
         self._math_def = problem.describe().get("math_definition", "")
         self._prepare_known_solutions()
 
@@ -446,13 +483,17 @@ class DiscoveryEngine:
     def _append_kept(self, out_s, out_f, kept: List[int]):
         """Append the kept rows' jets to the cache — one fused dispatch
         (gather + in-place tail update with donated cache buffers).  The
-        selection index is padded to a power-of-two length (a fresh XLA
-        compile per exact survivor count dominated depth-4 wall-clock);
-        the pad rows land beyond cache.n and are overwritten by the next
-        append."""
+        selection index is padded to one of TWO shapes (matching the op
+        batches' own {8192, batch_size} quantization): each distinct
+        (pad, capacity) pair is a separate XLA executable, and on a
+        tunneled TPU every executable's first use costs a multi-second
+        load — the former power-of-two pad ladder alone was ~17 s of a
+        depth-4 run.  The pad rows land beyond cache.n and are
+        overwritten by the next append."""
         import jax.numpy as jnp
         k = len(kept)
-        kpad = max(256, 1 << (k - 1).bit_length())
+        nb = int(out_s.shape[0])  # batch rows: 8192 or batch_size
+        kpad = nb if (nb <= 8192 or k > 8192) else 8192
         idx = np.zeros(kpad, np.int32)
         idx[:k] = kept
         self.cache.append_gathered(out_s, out_f, jnp.asarray(idx),
@@ -472,63 +513,74 @@ class DiscoveryEngine:
         n = a_u.size
         st.candidates += n
 
-        # structural hashes (used for non-finite-fingerprint candidates);
-        # op_salt is a stable digest — Python hash() is salted per process
-        # and would break resume dedup (ADVICE.md round 1)
-        bb = b_u if b_u is not None else np.zeros(n, np.int32)
-        with np.errstate(over="ignore"):
-            struct = (a_u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                      ^ bb.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-                      ^ np.uint64(op_salt(op_name)))
-        struct |= np.uint64(STRUCT_TAG)
-        keys = self._fp_keys(sr, n, struct)
+        with _Section("keys"):
+            # structural hashes (used for non-finite-fingerprint
+            # candidates); op_salt is a stable digest — Python hash() is
+            # salted per process and would break resume dedup (ADVICE.md
+            # round 1)
+            bb = b_u if b_u is not None else np.zeros(n, np.int32)
+            with np.errstate(over="ignore"):
+                struct = (a_u.astype(np.uint64)
+                          * np.uint64(0x9E3779B97F4A7C15)
+                          ^ bb.astype(np.uint64)
+                          * np.uint64(0xC2B2AE3D27D4EB4F)
+                          ^ np.uint64(op_salt(op_name)))
+            struct |= np.uint64(STRUCT_TAG)
+            keys = self._fp_keys(sr, n, struct)
 
-        # global first-occurrence dedup: one native batch insert (new keys
-        # get consecutive uids in batch order; the dict fallback reproduces
-        # the same semantics via np.unique + filter)
-        enum = self.enumerator
-        new_idx = self.fp_to_uid.insert_batch(
-            keys, base_uid=enum.count_uniques())
+        with _Section("dedup"):
+            # global first-occurrence dedup: one native batch insert (new
+            # keys get consecutive uids in batch order; the dict fallback
+            # reproduces the same semantics via np.unique + filter)
+            enum = self.enumerator
+            new_idx = self.fp_to_uid.insert_batch(
+                keys, base_uid=enum.count_uniques())
         if new_idx.size == 0:
             return
         k_new = int(new_idx.size)
 
-        uid0, exprs = enum.add_uniques_bulk(
-            op_name, a_u[new_idx],
-            None if b_u is None else b_u[new_idx], depth,
-            retain_strings=retain_strings)
+        with _Section("register"):
+            uid0, exprs = enum.add_uniques_bulk(
+                op_name, a_u[new_idx],
+                None if b_u is None else b_u[new_idx], depth,
+                retain_strings=retain_strings)
         newkeys = keys[new_idx]
         st.unique += k_new
 
-        # vectorized verdict classification
-        has_var = enum.f_has_var[uid0:uid0 + k_new]
-        is_const = sr.is_const[new_idx] | ~has_var
-        nonfin = (~sr.fp_finite[new_idx] | sr.nonfinite[new_idx]) & ~is_const
-        passing = sr.screen_ok[new_idx] & ~is_const & ~nonfin
+        with _Section("verdicts"):
+            # vectorized verdict classification
+            has_var = enum.f_has_var[uid0:uid0 + k_new]
+            is_const = sr.is_const[new_idx] | ~has_var
+            nonfin = ((~sr.fp_finite[new_idx] | sr.nonfinite[new_idx])
+                      & ~is_const)
+            passing = sr.screen_ok[new_idx] & ~is_const & ~nonfin
 
-        self._emit_rejects_bulk(
-            uid0, exprs, newkeys, depth, sr, new_idx,
-            is_const, nonfin, passing, on_row, on_rows)
+        with _Section("rejects"):
+            self._emit_rejects_bulk(
+                uid0, exprs, newkeys, depth, sr, new_idx,
+                is_const, nonfin, passing, on_row, on_rows)
 
-        # rich path for the (rare) screen passers: f64 recheck queue
-        pass_locals = np.nonzero(passing)[0]
-        if pass_locals.size:
-            for local in pass_locals.tolist():
-                uid = uid0 + local
-                if enum.expr_strs[uid] is None:
-                    enum.expr_strs[uid] = exprs[local]
-                    enum.wrapped_strs[uid] = exprs[local]
-                u = enum.unique_at(uid)
-                ev = self._ev_at(sr, int(new_idx[local]))
-                key = int(newkeys[local])
-                if ev["rel_max"] < self.config.f64_skip_below:
-                    self._finalize_pass(u, ev, ev["rel_max"], "screen",
-                                        depth, st, on_row, key)
-                else:
-                    self._gray.append((u, ev, key))
+        with _Section("passers"):
+            # rich path for the (rare) screen passers: f64 recheck queue
+            pass_locals = np.nonzero(passing)[0]
+            if pass_locals.size:
+                for local in pass_locals.tolist():
+                    uid = uid0 + local
+                    if enum.expr_strs[uid] is None:
+                        enum.expr_strs[uid] = exprs[local]
+                        enum.wrapped_strs[uid] = exprs[local]
+                    u = enum.unique_at(uid)
+                    ev = self._ev_at(sr, int(new_idx[local]))
+                    key = int(newkeys[local])
+                    if ev["rel_max"] < self.config.f64_skip_below:
+                        self._finalize_pass(u, ev, ev["rel_max"], "screen",
+                                            depth, st, on_row, key)
+                    else:
+                        self._gray.append((u, ev, key))
 
-        if out_s is not None and k_new and append_cache:
-            self._append_kept(out_s, out_f, new_idx.tolist())
+        with _Section("cache_append"):
+            if out_s is not None and k_new and append_cache:
+                self._append_kept(out_s, out_f, new_idx.tolist())
 
     _R_CONST = "Zero gradient (constant expression)"
     _R_NONFIN = "Non-finite on safe domain (rejected)"
@@ -709,41 +761,64 @@ class DiscoveryEngine:
                 st.valid -= 1
                 self.valid_rows.remove(row)
 
-    def _flush_gray(self, depth: int, st: DepthStats, on_row=None,
-                    chunk: int = 4096):
-        """Batched float64 recheck of the screen's gray zone."""
+    def _gray_numeric(self, part):
+        """The numeric (NumPy float64) section of the gray recheck for one
+        chunk — pure function of the candidates, safe to run on the
+        overlap worker thread (large NumPy ops release the GIL, so this
+        hides behind the main thread's tunnel I/O waits on the one-core
+        hosts the axon TPU rig provides)."""
         from .ops.interpreter import eval_jets_np_many
-        gray = self._gray
-        self._gray = []
-        if not gray:
-            return
-        # sort by tape length so each chunk pads to its own (small) max —
-        # the f64 interpreter pays O(padded length) per candidate
-        gray.sort(key=lambda t: len(t[0].tape))
+        from .parallel.search import informative_points
         consts = self.problem.consts.as_array(np.float64)
         pts = self.problem.screen_points
-        for i in range(0, len(gray), chunk):
-            part = gray[i:i + chunk]
-            L = max(len(c.tape) for c, _, _ in part)
-            tapes = np.stack([c.tape.padded(L) for c, _, _ in part])
-            lengths = np.array([len(c.tape) for c, _, _ in part], np.int64)
-            jets = eval_jets_np_many(tapes, lengths, consts, pts,
-                                     self.problem.residual_order)
-            res, scale = self.problem.residual_fn(jets, pts, np)
-            with np.errstate(invalid="ignore"):
-                rel = np.abs(res) / (scale + 1e-300)
-            from .parallel.search import informative_points
-            ok_pt = ((np.isfinite(res) & np.isfinite(scale))
-                     & informative_points(res, scale, jets, np))
-            finite = ((np.isfinite(res) & np.isfinite(scale)).all(axis=-1)
-                      & ok_pt.any(axis=-1))
-            rel = np.where(ok_pt, rel, 0.0)
-            # constant guard (see _recheck_f64): vanishing f64 gradient at
-            # every point ⇒ constant expression, excluded by the
-            # zero-gradient rule even though it trivially zeroes the
-            # residual (the f32 screen's is_const can miss these)
-            const64 = _const_in_f64_batch(jets)
-            relmax = np.where(finite, rel.max(axis=-1), np.inf)
+        L = max(len(c.tape) for c, _, _ in part)
+        tapes = np.stack([c.tape.padded(L) for c, _, _ in part])
+        lengths = np.array([len(c.tape) for c, _, _ in part], np.int64)
+        jets = eval_jets_np_many(tapes, lengths, consts, pts,
+                                 self.problem.residual_order)
+        res, scale = self.problem.residual_fn(jets, pts, np)
+        with np.errstate(invalid="ignore"):
+            rel = np.abs(res) / (scale + 1e-300)
+        ok_pt = ((np.isfinite(res) & np.isfinite(scale))
+                 & informative_points(res, scale, jets, np))
+        finite = ((np.isfinite(res) & np.isfinite(scale)).all(axis=-1)
+                  & ok_pt.any(axis=-1))
+        rel = np.where(ok_pt, rel, 0.0)
+        # constant guard (see _recheck_f64): vanishing f64 gradient at
+        # every point ⇒ constant expression, excluded by the
+        # zero-gradient rule even though it trivially zeroes the
+        # residual (the f32 screen's is_const can miss these)
+        const64 = _const_in_f64_batch(jets)
+        relmax = np.where(finite, rel.max(axis=-1), np.inf)
+        return const64, finite, relmax
+
+    def _gray_maybe_submit(self, chunk: int = 4096):
+        """Stream gray chunks to the overlap worker during the depth so
+        their f64 numerics run while the main thread waits on the device
+        (row emission stays on the main thread — sqlite connections and
+        Row bookkeeping are not thread-safe)."""
+        while len(self._gray) >= chunk:
+            part = self._gray[:chunk]
+            del self._gray[:chunk]
+            self._gray_done.append(
+                (part, self._gray_pool.submit(self._gray_numeric, part)))
+
+    def _flush_gray(self, depth: int, st: DepthStats, on_row=None,
+                    chunk: int = 4096):
+        """Drain the gray zone: finish streaming chunks, then emit
+        verdict rows for every chunk in submission order."""
+        if self._gray:
+            # remainder (sorted so the final chunks pad tightly)
+            self._gray.sort(key=lambda t: len(t[0].tape))
+            for i in range(0, len(self._gray), chunk):
+                part = self._gray[i:i + chunk]
+                self._gray_done.append(
+                    (part, self._gray_pool.submit(self._gray_numeric,
+                                                  part)))
+            self._gray = []
+        done, self._gray_done = self._gray_done, []
+        for part, fut in done:
+            const64, finite, relmax = fut.result()
             for j, (cand, ev, key) in enumerate(part):
                 if const64[j]:
                     self._add_row(cand, depth, False, self._R_CONST,
@@ -865,6 +940,7 @@ class DiscoveryEngine:
                         on_rows=on_rows,
                         retain_strings=(depth < max_depth))
                     st.t_ingest += time.perf_counter() - ti
+                    self._gray_maybe_submit()
                     if on_batch is not None:
                         on_batch(st)
 

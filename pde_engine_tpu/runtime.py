@@ -131,6 +131,11 @@ class DiscoveryRun:
                       f"[{st.seconds:.1f}s, {rate:,.0f} cand/s | "
                       f"enum {st.t_enum:.1f} dev {st.t_device:.1f} "
                       f"ingest {st.t_ingest:.1f} gray {st.t_gray:.1f}]")
+            from .pipeline import _INGEST_TIMERS
+            if _INGEST_TIMERS:
+                self._log("    ingest breakdown: " + " ".join(
+                    f"{k} {v:.1f}" for k, v in _INGEST_TIMERS.items()))
+                _INGEST_TIMERS.clear()
 
         monitor = None
         if self.verbose:
