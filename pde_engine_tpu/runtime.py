@@ -107,6 +107,10 @@ class DiscoveryRun:
                                      snippet=snippet)
 
         def on_depth(st):
+            # depth barrier: every queued native-sink batch must be in the
+            # DB before the depth is marked completed (resume correctness)
+            if self._native_sink is not None:
+                self._native_sink.flush()
             self.db.flush()
             counts = {
                 "generated": sum(s.candidates for s in self.engine.stats),

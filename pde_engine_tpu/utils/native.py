@@ -237,7 +237,17 @@ class DedupMap:
 
 class NativeRejectSink:
     """Reject rows straight into the run DB via the native prepared-statement
-    writer.  One call per candidate batch; its own transaction."""
+    writer.  One call per candidate batch; its own transaction.
+
+    Writes happen on a dedicated writer thread (the reference funneled all
+    result writes through one `_db_update_writer` process, general:1109-
+    1220; here one thread per run keeps the single-writer discipline):
+    ctypes releases the GIL for the C call, so on the one-core axon hosts
+    the sqlite work overlaps the main thread's device/tunnel waits instead
+    of sitting on the depth's critical path (~6 s of a warm depth-4 run).
+    """
+
+    QUEUE_MAX = 8  # batches in flight (bounds buffered row memory)
 
     def __init__(self, db_path: str, table: str):
         core = load_core()
@@ -251,28 +261,61 @@ class NativeRejectSink:
             core.idb_close(self._h)
             self._h = None
             raise RuntimeError(f"native sink: {msg}")
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.QUEUE_MAX)
+        self._err = None
+        self._writer = threading.Thread(target=self._drain, daemon=True)
+        self._writer.start()
+
+    def _drain(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            try:
+                if self._err is None:
+                    self._emit_now(*item)
+            except Exception as e:  # surfaced at next emit()/flush()
+                self._err = e
+            finally:
+                self._q.task_done()
 
     def emit(self, ids: np.ndarray, exprs_blob: bytes, sigs: np.ndarray,
              depth: int, reason_code: np.ndarray, rel: np.ndarray,
              screen_ok: np.ndarray, nonfinite: np.ndarray,
              is_const: np.ndarray, fp_finite: np.ndarray,
              n_screen_points: int, math_def: bytes) -> int:
+        """Queue one batch for the writer thread.  The arrays are copied
+        to owned contiguous buffers here (callers may reuse/slice)."""
+        if self._err is not None:
+            raise self._err
         n = ids.size
         if n == 0:
             return 0
-        ids = np.ascontiguousarray(ids, dtype=np.int64)
-        sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
-        reason_code = np.ascontiguousarray(reason_code, dtype=np.uint8)
-        rel = np.ascontiguousarray(rel, dtype=np.float32)
         b8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)  # noqa: E731
+        self._q.put((
+            np.ascontiguousarray(ids, dtype=np.int64).copy(), exprs_blob,
+            np.ascontiguousarray(sigs, dtype=np.uint64).copy(), depth,
+            np.ascontiguousarray(reason_code, dtype=np.uint8).copy(),
+            np.ascontiguousarray(rel, dtype=np.float32).copy(),
+            b8(screen_ok).copy(), b8(nonfinite).copy(), b8(is_const).copy(),
+            b8(fp_finite).copy(), n_screen_points, math_def))
+        return n
+
+    def _emit_now(self, ids, exprs_blob, sigs, depth, reason_code, rel,
+                  screen_ok, nonfinite, is_const, fp_finite,
+                  n_screen_points, math_def) -> int:
+        n = ids.size
         r = self._core.idb_emit_rejects(
             self._h, ct.c_int64(n), _as_ptr(ids, ct.c_int64), exprs_blob,
             _as_ptr(sigs, ct.c_uint64), ct.c_int32(depth),
             _as_ptr(reason_code, ct.c_uint8), _as_ptr(rel, ct.c_float),
-            _as_ptr(b8(screen_ok), ct.c_uint8),
-            _as_ptr(b8(nonfinite), ct.c_uint8),
-            _as_ptr(b8(is_const), ct.c_uint8),
-            _as_ptr(b8(fp_finite), ct.c_uint8),
+            _as_ptr(screen_ok, ct.c_uint8),
+            _as_ptr(nonfinite, ct.c_uint8),
+            _as_ptr(is_const, ct.c_uint8),
+            _as_ptr(fp_finite, ct.c_uint8),
             ct.c_int32(n_screen_points), math_def)
         if r < 0:
             raise RuntimeError(
@@ -280,10 +323,22 @@ class NativeRejectSink:
                 + self._core.idb_error(self._h).decode())
         return int(r)
 
+    def flush(self):
+        """Block until every queued batch is committed (depth barriers,
+        monitor counts, and close() call this)."""
+        self._q.join()
+        if self._err is not None:
+            raise self._err
+
     def close(self):
         if self._h is not None:
-            self._core.idb_close(self._h)
-            self._h = None
+            try:
+                self._q.join()
+                self._q.put(None)
+                self._writer.join(timeout=30)
+            finally:
+                self._core.idb_close(self._h)
+                self._h = None
 
     def __del__(self):
         try:
