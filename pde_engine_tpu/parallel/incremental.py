@@ -259,6 +259,104 @@ def make_op_kernel_sharded(mesh, op_name: str, order: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _make_universal_kernel_uidrange(mesh, order: int, residual_key: str,
+                                    screen_rtol: float, n_screen: int,
+                                    n_fp: int):
+    """Mega-depth variant: the jet cache itself is SHARDED by uid range
+    across the mesh (HBM scaling — 10^8 uniques at ~550 B/row is ~55 GB,
+    beyond any one chip; K chips hold contiguous row slices).
+
+    Per batch, each device reconstructs the full operand rows with a
+    masked local gather + ``psum`` over the candidates axis (each uid's
+    row lives on exactly one device, so the sum IS the row; ~2 x batch x
+    550 B ≈ 290 MB rides ICI per 262k batch — ~3 ms at v5e ICI rates),
+    then screens ITS shard of the candidate batch.  Verdict/jets outputs
+    stay sharded; only the survivor count is reduced.
+
+    Reference analog: none — the reference's validator pool shares one
+    process's memory (general:801-823).  This is the TPU-native answer to
+    SURVEY §7's "hard parts: 10^8-unique jet cache".
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import CANDIDATE_AXIS
+
+    raw = make_universal_kernel_raw(order, residual_key, screen_rtol,
+                                    n_screen, n_fp)
+    ndev = mesh.devices.size
+
+    def step(cache_s_l, cache_f_l, ab_idx, op_id, spoints, fpoints):
+        # cache_*_l: this device's row slice [C/K, dim]; device d owns
+        # uids [d*C/K, (d+1)*C/K)
+        rows_local = cache_s_l.shape[0]
+        uid_lo = jax.lax.axis_index(CANDIDATE_AXIS) * rows_local
+
+        def pick(local, idx):
+            rel = idx - uid_lo
+            ok = (rel >= 0) & (rel < rows_local)
+            rows = local[jnp.clip(rel, 0, rows_local - 1)]
+            return jnp.where(ok[:, None], rows, 0).astype(local.dtype)
+
+        a_idx = ab_idx[:, 0]
+        b_idx = ab_idx[:, 1]
+        # one fused psum of all four operand blocks (one collective)
+        a_s, a_f, b_s, b_f = jax.lax.psum(
+            (pick(cache_s_l, a_idx), pick(cache_f_l, a_idx),
+             pick(cache_s_l, b_idx), pick(cache_f_l, b_idx)),
+            CANDIDATE_AXIS)
+
+        # screen MY shard of the batch against the (now replicated)
+        # operand rows: slice [i*n/K, (i+1)*n/K)
+        n = ab_idx.shape[0]
+        shard_rows = n // ndev
+        i0 = jax.lax.axis_index(CANDIDATE_AXIS) * shard_rows
+        my = lambda arr: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+            arr, i0, shard_rows, axis=0)
+        packed, out_s, out_f = _apply_raw_on_rows(
+            raw, my(a_s), my(a_f), my(b_s), my(b_f), op_id,
+            spoints, fpoints)
+        n_pass = jax.lax.psum(jnp.sum(packed[:, 0].astype(jnp.int32)),
+                              CANDIDATE_AXIS)
+        return packed, out_s, out_f, n_pass
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(), P(), P(),
+                  P()),
+        out_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+                   P(CANDIDATE_AXIS), P()),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def _apply_raw_on_rows(raw, a_s, a_f, b_s, b_f, op_id, spoints, fpoints):
+    """Run the universal kernel body on pre-gathered operand rows (the
+    uid-range path gathers cross-device before screening, so the cache
+    lookup inside ``raw`` is replaced by an identity gather)."""
+    n = a_s.shape[0]
+    cache_s = jnp.concatenate([a_s, b_s], axis=0)
+    cache_f = jnp.concatenate([a_f, b_f], axis=0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ab = jnp.stack([idx, idx + n], axis=1)
+    return raw(cache_s, cache_f, ab, op_id, spoints, fpoints)
+
+
+def make_op_kernel_uidrange(mesh, op_name: str, order: int,
+                            residual_key: str, screen_rtol: float,
+                            n_screen: int, n_fp: int):
+    """Per-op view of the uid-range-sharded universal kernel."""
+    uni = _make_universal_kernel_uidrange(mesh, order, residual_key,
+                                          screen_rtol, n_screen, n_fp)
+    op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
+
+    def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        return uni(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
 def make_select_kernel():
     """Gather rows by index (device-side survivor selection)."""
     def sel(arr, idx):
