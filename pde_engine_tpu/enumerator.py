@@ -483,7 +483,8 @@ class Enumerator:
                 yield name, buf
 
     # ------------------------------------------------------------------
-    def vector_batches_at_depth(self, depth: int, batch_size: int
+    def vector_batches_at_depth(self, depth: int, batch_size: int,
+                                max_parent_uid: Optional[int] = None
                                 ) -> Iterator[Tuple[str, np.ndarray,
                                                     Optional[np.ndarray]]]:
         """Array-level candidate generation (no Python objects, no strings):
@@ -491,10 +492,23 @@ class Enumerator:
         batches.  Semantics identical to :meth:`candidates_at_depth`
         (same prune rules, same commutative canonicalization); the 10^5-10^8
         per-depth candidate streams never touch Python-per-candidate code.
+
+        ``max_parent_uid`` bounds the parent window to uids whose jets are
+        device-resident (the single-chip HBM budget,
+        SearchConfig.max_cache_rows); uniques beyond it are screened and
+        stored but never composed deeper on this chip.
         """
         assert depth >= 2
         prune = self.prune
-        uid_arr = self.uid_array
+        if max_parent_uid is None:
+            uid_arr = self.uid_array
+        else:
+            cap = max_parent_uid
+
+            def uid_arr(d, _base=self.uid_array, _cap=cap):
+                arr = _base(d)
+                return arr[arr < _cap] if arr.size and arr[-1] >= _cap \
+                    else arr
 
         def chunks(name, a, b):
             for i in range(0, a.size, batch_size):

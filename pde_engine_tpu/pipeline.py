@@ -580,7 +580,13 @@ class DiscoveryEngine:
 
         with _Section("cache_append"):
             if out_s is not None and k_new and append_cache:
-                self._append_kept(out_s, out_f, new_idx.tolist())
+                # HBM budget: append only the uid-prefix that fits (uids
+                # are consecutive in batch order, so the cache invariant
+                # rows == uids [0, cache.n) survives a partial append)
+                room = self.config.max_cache_rows - self.cache.n
+                if room > 0:
+                    self._append_kept(out_s, out_f,
+                                      new_idx[:room].tolist())
 
     _R_CONST = "Zero gradient (constant expression)"
     _R_NONFIN = "Non-finite on safe domain (rejected)"
@@ -913,8 +919,19 @@ class DiscoveryEngine:
                 # host, so device execution hides behind host work.  Safe:
                 # depth-d candidates only gather cache rows of depths < d,
                 # and appends during depth d are never read within it.
+                # parent window = device-resident cache rows (uid == row);
+                # at depth start all prior appends are complete, so
+                # cache.n IS the largest usable parent uid + 1
                 gen = self.enumerator.vector_batches_at_depth(
-                    depth, self.config.batch_size)
+                    depth, self.config.batch_size,
+                    max_parent_uid=self.cache.n)
+                if self.cache.n < self.enumerator.count_uniques():
+                    trunc = self.enumerator.count_uniques() - self.cache.n
+                    print(f"  [hbm] parent window truncated: {trunc} of "
+                          f"{self.enumerator.count_uniques()} uniques "
+                          "exceed max_cache_rows and are not composed "
+                          "deeper on this chip (full coverage: uid-range "
+                          "sharded mesh path)", flush=True)
                 pending = None
 
                 def drain(pending):

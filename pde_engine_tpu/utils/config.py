@@ -86,3 +86,13 @@ class SearchConfig:
     # below this row count keeps *extension* resumes (--max-depth deeper
     # than the original run) bit-exact for small/medium runs.
     final_append_limit: int = 2_000_000
+
+    # Hard HBM budget for the device jet cache, in rows (~550 B/row at
+    # order 4).  Mid-depth uniques beyond this cap are still screened,
+    # stored, and deduplicated — they just never become PARENTS of deeper
+    # candidates on this chip (the run logs the truncated parent window).
+    # 20M rows ≈ 11 GB, inside a v5e's 16 GB with batch workspace.  Full
+    # parent coverage at 10^8-unique scale is the uid-range-sharded mesh
+    # path (parallel/incremental.make_op_kernel_uidrange): K chips hold
+    # contiguous cache slices, so the budget scales with the pod.
+    max_cache_rows: int = 20_000_000

@@ -138,3 +138,30 @@ def test_mesh_sharded_run_matches_unsharded():
     # shard_mapped op kernel (psum'd survivor count is its marker)
     assert getattr(e2, "mesh_survivors", None) is not None
     assert int(e2.mesh_survivors) >= 0
+
+
+def test_max_cache_rows_bounds_parent_window():
+    """With a tiny HBM budget the engine must keep running: uniques
+    beyond the cap are screened/stored but never composed deeper, so the
+    bounded run's uniques are a subset of the full run's."""
+    p1 = load_problem("laplace")
+    full = DiscoveryEngine(p1, SearchConfig(max_depth=3))
+    full.run(3)
+    p2 = load_problem("laplace")
+    cfg = SearchConfig(max_depth=3, max_cache_rows=40)
+    trunc = DiscoveryEngine(p2, cfg)
+    trunc.run(3)
+    assert trunc.cache.n <= 40
+    # display strings may differ (a window-dropped early spelling lets a
+    # later spelling become its fingerprint class's first occurrence), so
+    # compare value-level identities: finite fingerprint signatures of
+    # the bounded run are a subset of the full run's
+    def finite_sigs(eng):
+        return {r.signature for r in eng.rows
+                if '"fp_finite": true' in (r.validator_evidence or "")}
+    assert finite_sigs(trunc) <= finite_sigs(full)
+    # depth-2 candidates (both parents are primitives, always in-window)
+    # are identical
+    d2_full = {r.expression for r in full.rows if r.depth == 2}
+    d2_trunc = {r.expression for r in trunc.rows if r.depth == 2}
+    assert d2_trunc == d2_full and len(d2_trunc) > 0
