@@ -34,7 +34,8 @@ def main():
     from pde_engine_tpu.ops.jets import n_coeffs
     from pde_engine_tpu.parallel.incremental import JetCache, make_op_kernel
     from pde_engine_tpu.parallel.pallas_engine import make_pallas_op_kernel
-    from pde_engine_tpu.parallel.search import unpack_screen_result
+    from pde_engine_tpu.parallel.incremental import COMPACT_MAX_PASSERS
+    from pde_engine_tpu.parallel.search import unpack_screen_result_compact
     from pde_engine_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -59,7 +60,7 @@ def main():
             residual_key=problem.get_residual_key(),
             screen_rtol=float(problem.screen_rtol),
             n_screen=len(problem.screen_points),
-            n_fp=len(problem.fingerprint_points))
+            n_fp=len(problem.fingerprint_points), compact=True)
 
     # ---- seed: depth 1 via the NumPy oracle ----
     from pde_engine_tpu.ops.interpreter import eval_jets_np_many
@@ -89,8 +90,10 @@ def main():
                 np.int32, n)
             packed, out_s, out_f = op_kernel(op_name)(
                 cache.screen, cache.fp, jnp.asarray(ab), spoints, fpoints)
-            sr = unpack_screen_result(np.asarray(packed))
-            fpa, fpb = sr.fp_a, sr.fp_b
+            cu = unpack_screen_result_compact(
+                np.asarray(packed), npad, len(problem.fingerprint_points),
+                min(npad, COMPACT_MAX_PASSERS))
+            fpa, fpb = cu.sr.fp_a, cu.sr.fp_b
             keep = []
             for j, c in enumerate(batch):
                 key = (int(fpa[j]), int(fpb[j]))

@@ -25,6 +25,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 
 // ---------------------------------------------------------------------------
 // Minimal sqlite3 C API surface (libsqlite3.so.0 is linked directly; the
@@ -251,7 +252,7 @@ void* idb_open(const char* path, const char* table) {
              " is_paper_solution, paper_solution_name, heavy_is_valid, "
              " heavy_reason, validated_at) "
              "VALUES (?,?,?,?,?,'completed',0,?,'screen',?,?,0,"
-             "NULL,NULL,NULL, datetime('now'))",
+             "NULL,NULL,NULL, ?)",
              table);
     if (sqlite3_prepare_v2(s->db, sql, -1, &s->stmt, nullptr) != SQLITE_OK) {
         snprintf(s->err, sizeof(s->err), "prepare failed: %s",
@@ -306,6 +307,16 @@ int64_t idb_emit_rejects(void* h, int64_t n, const int64_t* ids,
     };
     int64_t inserted = 0;
     const int math_len = (int)strlen(math_def);
+    // one timestamp per batch (sqlite's datetime('now') per row was
+    // measurable at 10^7-row scale); UTC to match sqlite's datetime()
+    char now_buf[24];
+    {
+        time_t t = time(nullptr);
+        struct tm tmv;
+        gmtime_r(&t, &tmv);
+        strftime(now_buf, sizeof(now_buf), "%Y-%m-%d %H:%M:%S", &tmv);
+    }
+    const int now_len = (int)strlen(now_buf);
     for (int64_t i = 0; i < n; ++i) {
         size_t elen = strlen(p);
         const char* reason_ptr;
@@ -349,6 +360,7 @@ int64_t idb_emit_rejects(void* h, int64_t n, const int64_t* ids,
         else
             sqlite3_bind_null(st, 7);
         sqlite3_bind_text(st, 8, evidence, ev_len, TEXT_STATIC);
+        sqlite3_bind_text(st, 9, now_buf, now_len, TEXT_STATIC);
         if (sqlite3_step(st) != SQLITE_DONE) {
             snprintf(s->err, sizeof(s->err), "step failed at row %lld: %s",
                      (long long)i, sqlite3_errmsg(s->db));
@@ -367,6 +379,217 @@ int64_t idb_emit_rejects(void* h, int64_t n, const int64_t* ids,
         return -1;
     }
     return inserted;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// 3. ExprArena — display strings without Python string objects
+// ===========================================================================
+//
+// The enumerator's display-string construction (enumerator.add_uniques_bulk:
+// one Python str concat per unique) and the reject-blob join were ~100 s of
+// a 24M-unique depth-5 run.  The arena keeps every unique's display string
+// as (offset, length) into one growable byte buffer; children are built
+// natively from their parents' bytes, and the reject sink packs its
+// NUL-separated blob straight out of the arena with one memcpy pass.
+
+namespace {
+
+struct ExprArena {
+    char* buf = nullptr;
+    uint64_t len = 0, cap = 0;
+    uint64_t* off = nullptr;     // per-uid offset into buf
+    uint32_t* slen = nullptr;    // per-uid string length
+    uint64_t n = 0, ncap = 0;
+    // wrapped-form overrides: only non-atomic PRIMITIVES differ from
+    // their expr form (e.g. "rho**2 + z**2" wraps as "(rho**2 + z**2)"
+    // for binary-format composition); composed entries are self-wrapped.
+    // A handful of entries — linear lookup.
+    struct Wrap { uint64_t uid; char* s; uint32_t l; };
+    Wrap wraps[32];
+    int n_wraps = 0;
+
+    ~ExprArena() {
+        free(buf);
+        free(off);
+        free(slen);
+        for (int i = 0; i < n_wraps; ++i) free(wraps[i].s);
+    }
+    inline void wrapped_of(uint64_t uid, const char** s, uint32_t* l,
+                           bool use_wrapped) const {
+        if (use_wrapped) {
+            for (int i = 0; i < n_wraps; ++i) {
+                if (wraps[i].uid == uid) {
+                    *s = wraps[i].s;
+                    *l = wraps[i].l;
+                    return;
+                }
+            }
+        }
+        *s = buf + off[uid];
+        *l = slen[uid];
+    }
+    void reserve_bytes(uint64_t need) {
+        if (len + need <= cap) return;
+        uint64_t nc = cap ? cap : (1u << 20);
+        while (nc < len + need) nc <<= 1;
+        buf = (char*)realloc(buf, nc);
+        cap = nc;
+    }
+    void reserve_rows(uint64_t need) {
+        if (n + need <= ncap) return;
+        uint64_t nc = ncap ? ncap : (1u << 16);
+        while (nc < n + need) nc <<= 1;
+        off = (uint64_t*)realloc(off, nc * sizeof(uint64_t));
+        slen = (uint32_t*)realloc(slen, nc * sizeof(uint32_t));
+        ncap = nc;
+    }
+    inline void push(const char* s, uint32_t l) {
+        reserve_bytes(l);
+        reserve_rows(1);
+        memcpy(buf + len, s, l);
+        off[n] = len;
+        slen[n] = l;
+        len += l;
+        ++n;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ea_new() { return new ExprArena(); }
+void ea_free(void* h) { delete (ExprArena*)h; }
+int64_t ea_count(void* h) { return (int64_t)((ExprArena*)h)->n; }
+int64_t ea_bytes(void* h) { return (int64_t)((ExprArena*)h)->len; }
+
+// Append raw strings (NUL-separated blob) — primitives / resume seeding.
+void ea_add_raw(void* h, const char* blob, int64_t n) {
+    ExprArena* a = (ExprArena*)h;
+    const char* p = blob;
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t l = (uint32_t)strlen(p);
+        a->push(p, l);
+        p += l + 1;
+    }
+}
+
+// Register a wrapped-form override for `uid` (composite primitives only).
+int64_t ea_set_wrapped(void* h, int64_t uid, const char* s) {
+    ExprArena* a = (ExprArena*)h;
+    if (a->n_wraps >= 32) return -1;
+    uint32_t l = (uint32_t)strlen(s);
+    char* copy = (char*)malloc(l);
+    memcpy(copy, s, l);
+    a->wraps[a->n_wraps++] = {(uint64_t)uid, copy, l};
+    return 0;
+}
+
+// Append n composed strings: p1 + str(a_uid) + (binary: mid + str(b_uid))
+// + p2.  Parent uids must already be in the arena (uids are append order).
+// use_wrapped != 0 selects the wrapped parent form (binary infix formats);
+// unary/special formats use the expr form.  Returns 0 on success, -1 if
+// any parent uid is out of range.
+int64_t ea_add_bulk(void* h, const char* p1, const char* mid,
+                    const char* p2, const int32_t* a_uids,
+                    const int32_t* b_uids, int64_t n,
+                    int32_t use_wrapped) {
+    ExprArena* a = (ExprArena*)h;
+    const uint32_t l1 = (uint32_t)strlen(p1);
+    const uint32_t lm = mid ? (uint32_t)strlen(mid) : 0;
+    const uint32_t l2 = (uint32_t)strlen(p2);
+    const bool uw = use_wrapped != 0;
+    a->reserve_rows((uint64_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t au = (uint32_t)a_uids[i];
+        if (au >= a->n) return -1;
+        const char* as;
+        uint32_t al;
+        a->wrapped_of(au, &as, &al, uw);
+        const char* bs = nullptr;
+        uint32_t bl = 0;
+        if (b_uids) {
+            uint32_t bu = (uint32_t)b_uids[i];
+            if (bu >= a->n) return -1;
+            a->wrapped_of(bu, &bs, &bl, uw);
+        }
+        uint32_t total = l1 + al + lm + bl + l2;
+        // reserve may realloc buf — re-derive in-buffer parent pointers
+        const char* old_buf = a->buf;
+        a->reserve_bytes(total);
+        if (a->buf != old_buf) {
+            if (as >= old_buf && as < old_buf + a->len)
+                as = a->buf + (as - old_buf);
+            if (bs && bs >= old_buf && bs < old_buf + a->len)
+                bs = a->buf + (bs - old_buf);
+        }
+        char* w = a->buf + a->len;
+        memcpy(w, p1, l1);
+        w += l1;
+        memcpy(w, as, al);
+        w += al;
+        if (b_uids) {
+            memcpy(w, mid, lm);
+            w += lm;
+            memcpy(w, bs, bl);
+            w += bl;
+        }
+        memcpy(w, p2, l2);
+        a->off[a->n] = a->len;
+        a->slen[a->n] = total;
+        a->len += total;
+        ++a->n;
+    }
+    return 0;
+}
+
+// Copy uid's string into out (caller sizes it via ea_strlen).
+int32_t ea_strlen(void* h, int64_t uid) {
+    ExprArena* a = (ExprArena*)h;
+    if ((uint64_t)uid >= a->n) return -1;
+    return (int32_t)a->slen[uid];
+}
+int32_t ea_get(void* h, int64_t uid, char* out, int32_t out_cap) {
+    ExprArena* a = (ExprArena*)h;
+    if ((uint64_t)uid >= a->n) return -1;
+    uint32_t l = a->slen[uid];
+    if ((int32_t)l > out_cap) return -1;
+    memcpy(out, a->buf + a->off[uid], l);
+    return (int32_t)l;
+}
+
+// Total bytes of a NUL-separated blob for the given uids.
+int64_t ea_blob_size(void* h, const int64_t* uids, int64_t n) {
+    ExprArena* a = (ExprArena*)h;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if ((uint64_t)uids[i] >= a->n) return -1;
+        total += a->slen[uids[i]] + 1;
+    }
+    return total;
+}
+
+// Pack the NUL-separated blob into out (sized by ea_blob_size).
+void ea_blob(void* h, const int64_t* uids, int64_t n, char* out) {
+    ExprArena* a = (ExprArena*)h;
+    char* w = out;
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t l = a->slen[uids[i]];
+        memcpy(w, a->buf + a->off[uids[i]], l);
+        w += l;
+        *w++ = '\0';
+    }
+}
+
+// Truncate back to `keep` strings (drop a final depth's transient tail;
+// the byte buffer shrinks logically, capacity is reused).
+void ea_truncate(void* h, int64_t keep) {
+    ExprArena* a = (ExprArena*)h;
+    if ((uint64_t)keep >= a->n) return;
+    a->len = a->off[keep];
+    a->n = (uint64_t)keep;
 }
 
 }  // extern "C"

@@ -161,6 +161,18 @@ class Enumerator:
         self._uid_chunks: Dict[int, List[np.ndarray]] = {}
         self._uid_arr_cache: Dict[int, np.ndarray] = {}
         self._dropped_string_depths: Set[int] = set()
+        # Native display-string arena (csrc ExprArena): children composed
+        # from parent bytes in C, uid-aligned with the registry.  When
+        # present, the vectorized path skips per-unique Python strings
+        # entirely (~100 s of a 24M-unique depth-5 run) and the reject
+        # sink packs its blob straight from the arena.  None ⇒ Python
+        # string lists (tests, use_native=False).
+        self.arena = None
+        try:
+            from .utils.native import ExprArena
+            self.arena = ExprArena()
+        except Exception:
+            self.arena = None
 
     # ------------------------------------------------------------------
     def primitive_candidates(self) -> List[Candidate]:
@@ -189,6 +201,11 @@ class Enumerator:
         self.u_depth[uid] = cand.depth
         self.expr_strs.append(cand.expr_str)
         self.wrapped_strs.append(u.wrapped)
+        if self.arena is not None:
+            # keep the arena uid-aligned (composition reads parents there)
+            self.arena.add_raw([cand.expr_str])
+            if u.wrapped != cand.expr_str:
+                self.arena.set_wrapped(uid, u.wrapped)
         self._append_uid_chunk(cand.depth,
                                np.array([uid], dtype=np.int32))
         self.f_has_var[uid] = u.has_var
@@ -279,6 +296,25 @@ class Enumerator:
         # so wrapped == expr for the children.
         ws = self.wrapped_strs
         es = self.expr_strs
+        if self.arena is not None:
+            # native path: compose in the C arena (one call, no Python
+            # string objects); Python lists carry None and expr_str_of /
+            # the reject sink read the arena directly
+            if unary:
+                self.arena.add_bulk(op_name + "(", None, ")", a_u, None)
+            else:
+                fmt = ot.SURFACE_FORMAT.get(op_name)
+                if fmt:
+                    p1, rest = fmt.split("{a}")
+                    mid, p2 = rest.split("{b}")
+                    self.arena.add_bulk(p1, mid, p2, a_u, b_u,
+                                        use_wrapped=True)
+                else:
+                    self.arena.add_bulk(op_name + "(", ", ", ")",
+                                        a_u, b_u)
+            es.extend([None] * n)
+            ws.extend([None] * n)
+            return uid0, None
         if unary:
             pre = op_name + "("
             exprs = [pre + es[i] + ")" for i in a_u.tolist()]
@@ -330,6 +366,8 @@ class Enumerator:
         s = self.expr_strs[uid]
         if s is not None:
             return s
+        if self.arena is not None and uid < len(self.arena):
+            return self.arena.get(uid)
         # dropped string (retain_strings=False): rebuild from structure
         op = self._op_names[int(self.u_op[uid])]
         a = int(self.u_a[uid])

@@ -26,7 +26,14 @@ import numpy as np
 from ..ops.jetops import BINARY_NAMES, UNARY_NAMES, apply_surface_op
 from ..ops.jets import n_coeffs
 from .search import (ScreenResult, _RESIDUALS, _fold_hash, _quantize,
-                     pack_screen_result, verdicts_from_jets)
+                     pack_screen_result, pack_screen_result_compact,
+                     verdicts_from_jets)
+
+# Compact-packing sidecar capacity: passers whose raw fingerprint values
+# ride along in the verdict transfer.  Batches with more passers trigger
+# a host-side refetch from the device-resident fingerprint jets (rare —
+# mega-depth pass rates are ~1-2%).
+COMPACT_MAX_PASSERS = 32768
 
 # Fixed branch order of the universal kernel's lax.switch.
 OP_ORDER: Tuple[str, ...] = tuple(UNARY_NAMES) + tuple(BINARY_NAMES)
@@ -131,7 +138,8 @@ class JetCache:
 
 
 def make_universal_kernel_raw(order: int, residual_key: str,
-                              screen_rtol: float, n_screen: int, n_fp: int):
+                              screen_rtol: float, n_screen: int, n_fp: int,
+                              compact: bool = False):
     """ONE fused kernel for ALL surface ops: gather operand jets from the
     cache, ``lax.switch`` on a traced op id into the op's jet-space branch
     (screen order + fingerprint order), then the shared residual verdicts +
@@ -175,7 +183,12 @@ def make_universal_kernel_raw(order: int, residual_key: str,
 
         sr = verdicts_from_jets(out_s, out_f, spoints, residual_fn,
                                 screen_rtol)
-        return (pack_screen_result(sr),
+        if compact:
+            packed = pack_screen_result_compact(
+                sr, min(a_s.shape[0], COMPACT_MAX_PASSERS))
+        else:
+            packed = pack_screen_result(sr)
+        return (packed,
                 out_s.reshape(out_s.shape[0], -1),
                 out_f.reshape(out_f.shape[0], -1))
 
@@ -184,18 +197,20 @@ def make_universal_kernel_raw(order: int, residual_key: str,
 
 @functools.lru_cache(maxsize=None)
 def make_universal_kernel(order: int, residual_key: str,
-                          screen_rtol: float, n_screen: int, n_fp: int):
+                          screen_rtol: float, n_screen: int, n_fp: int,
+                          compact: bool = False):
     return jax.jit(make_universal_kernel_raw(
-        order, residual_key, screen_rtol, n_screen, n_fp))
+        order, residual_key, screen_rtol, n_screen, n_fp, compact))
 
 
 @functools.lru_cache(maxsize=None)
 def make_op_kernel(op_name: str, order: int, residual_key: str,
-                   screen_rtol: float, n_screen: int, n_fp: int):
+                   screen_rtol: float, n_screen: int, n_fp: int,
+                   compact: bool = False):
     """Per-op view of the universal kernel (same jitted executable for
     every op — the op id is a traced scalar)."""
     uni = make_universal_kernel(order, residual_key, screen_rtol,
-                                n_screen, n_fp)
+                                n_screen, n_fp, compact)
     op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
 
     def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):

@@ -32,7 +32,8 @@ from ..ops.jetops import UNARY_NAMES, apply_surface_op
 from ..ops.jets import n_coeffs
 from ..ops.lanes import (from_lane_major, lanes, lj_from_ref, lj_store,
                          to_lane_major)
-from .search import _RESIDUALS, pack_screen_result, verdicts_from_parts
+from .search import (_RESIDUALS, pack_screen_result,
+                     pack_screen_result_compact, verdicts_from_parts)
 
 TILE = 512
 
@@ -113,7 +114,8 @@ def _op_tile_runner(op_name: str, order: int, residual_key: str,
 def make_pallas_universal_kernel(order: int, residual_key: str,
                                  screen_rtol: float, n_screen: int,
                                  n_fp: int, tile: int = TILE,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 compact: bool = False):
     """ONE jitted executable for ALL surface ops: gather both operands,
     ``lax.switch`` on a traced op id into the op's Pallas tile kernel,
     then the shared verdict/fingerprint packing.
@@ -151,8 +153,13 @@ def make_pallas_universal_kernel(order: int, residual_key: str,
         jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
         fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
         sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
-        return (pack_screen_result(sr), jets.reshape(n, -1),
-                fj.reshape(n, -1))
+        if compact:
+            from .incremental import COMPACT_MAX_PASSERS
+            packed = pack_screen_result_compact(
+                sr, min(n, COMPACT_MAX_PASSERS))
+        else:
+            packed = pack_screen_result(sr)
+        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
 
     return jax.jit(call)
 
@@ -160,14 +167,16 @@ def make_pallas_universal_kernel(order: int, residual_key: str,
 @functools.lru_cache(maxsize=None)
 def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
                           screen_rtol: float, n_screen: int, n_fp: int,
-                          tile: int = TILE, interpret: bool = False):
+                          tile: int = TILE, interpret: bool = False,
+                          compact: bool = False):
     """Per-op view of the universal Pallas kernel (same jitted executable
     for every op — the op id is a traced scalar); call signature matches
     incremental.make_op_kernel."""
     from .incremental import OP_INDEX
 
     uni = make_pallas_universal_kernel(order, residual_key, screen_rtol,
-                                       n_screen, n_fp, tile, interpret)
+                                       n_screen, n_fp, tile, interpret,
+                                       compact)
     op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
 
     def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):

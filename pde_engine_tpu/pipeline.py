@@ -144,6 +144,8 @@ class DiscoveryEngine:
             problem,
             include_special_ops=self.config.include_special_ops,
             prune=self.config.prune)
+        if self.config.use_native is False:
+            self.enumerator.arena = None  # exercise the Python string path
         self.screen_rtol = (self.config.screen_rtol
                             if self.config.screen_rtol is not None
                             else problem.screen_rtol)
@@ -155,8 +157,15 @@ class DiscoveryEngine:
         # and ~10x less RAM than a dict at mega-run scale), else a dict
         # behind the same interface.
         from .utils.native import DedupMap
+        import jax as _jx
         self.fp_to_uid = DedupMap(
-            force_python=(self.config.use_native is False))
+            force_python=(self.config.use_native is False),
+            # pre-size for mega-runs on real hardware: every rehash of a
+            # multi-GB open-addressing table re-probes all keys (was 30+ s
+            # of depth-5 dedup); 2^26 slots = 1 GB covers ~44M uniques at
+            # the 2/3 load factor
+            cap_hint=(1 << 26) if _jx.default_backend() != "cpu"
+            else (1 << 16))
         # reject-row sink writing straight into the run DB via the native
         # sqlite writer; set by DiscoveryRun when a run DB exists
         self.native_sink = None
@@ -238,10 +247,37 @@ class DiscoveryEngine:
                 return make_op_kernel_multihost(self.mesh, op_name, **kw)
             from .parallel.incremental import make_op_kernel_sharded
             return make_op_kernel_sharded(self.mesh, op_name, **kw)
+        # single-device path: compact verdict packing (12 B/candidate —
+        # the full packing's device->host volume was ~50% of mega-depth
+        # device wall through the tunnel)
         if self._use_pallas():
             from .parallel.pallas_engine import make_pallas_op_kernel
-            return make_pallas_op_kernel(op_name, **kw)
-        return make_op_kernel(op_name=op_name, **kw)
+            return make_pallas_op_kernel(op_name, compact=True, **kw)
+        return make_op_kernel(op_name=op_name, compact=True, **kw)
+
+    def _unpack_batch(self, packed, out_f) -> ScreenResult:
+        """Unpack a batch's verdicts: compact on the single-device path
+        (with the rare >max_passers sidecar-overflow refetch from the
+        device-resident fingerprint jets), full packing under a mesh."""
+        if self.mesh is not None:
+            return unpack_screen_result(np.asarray(packed))
+        from .parallel.incremental import (COMPACT_MAX_PASSERS,
+                                           make_select_kernel)
+        from .parallel.search import unpack_screen_result_compact
+        import jax.numpy as jnp
+        npad = int(out_f.shape[0])
+        maxp = min(npad, COMPACT_MAX_PASSERS)
+        cu = unpack_screen_result_compact(
+            np.asarray(packed), npad,
+            len(self.problem.fingerprint_points), maxp)
+        if cu.n_passers > maxp:
+            miss = np.setdiff1d(
+                np.nonzero(cu.sr.screen_ok)[0].astype(np.int32),
+                cu.passer_idx)
+            rows = np.asarray(make_select_kernel()(
+                out_f, jnp.asarray(miss)))
+            cu.sr.fp_vals[miss] = rows
+        return cu.sr
 
     def _eval_tape_groups(self, cands: List[Candidate]):
         """Evaluate arbitrary tapes via the batched NumPy oracle (this path
@@ -544,6 +580,12 @@ class DiscoveryEngine:
                 op_name, a_u[new_idx],
                 None if b_u is None else b_u[new_idx], depth,
                 retain_strings=retain_strings)
+            if exprs is None and self.native_sink is None:
+                # arena-backed strings, but no native sink to read them:
+                # materialize Python strings for the Row/tuple paths
+                blob = enum.arena.blob(
+                    np.arange(uid0, uid0 + k_new, dtype=np.int64))
+                exprs = [s.decode() for s in blob.split(b"\x00")[:-1]]
         newkeys = keys[new_idx]
         st.unique += k_new
 
@@ -567,8 +609,10 @@ class DiscoveryEngine:
                 for local in pass_locals.tolist():
                     uid = uid0 + local
                     if enum.expr_strs[uid] is None:
-                        enum.expr_strs[uid] = exprs[local]
-                        enum.wrapped_strs[uid] = exprs[local]
+                        s = (exprs[local] if exprs is not None
+                             else enum.arena.get(uid))
+                        enum.expr_strs[uid] = s
+                        enum.wrapped_strs[uid] = s
                     u = enum.unique_at(uid)
                     ev = self._ev_at(sr, int(new_idx[local]))
                     key = int(newkeys[local])
@@ -618,11 +662,21 @@ class DiscoveryEngine:
             if not store_const:
                 emit &= ~is_const
             locs = np.nonzero(emit)[0]
+            n_new = len(is_const)
             if exprs:
                 self.last_expr = exprs[-1]
+            elif n_new:
+                # arena path: one string fetch per batch (monitor display)
+                self.last_expr = self.enumerator.arena.get(uid0 + n_new - 1)
             if locs.size:
-                ll = locs.tolist()
-                blob = "\x00".join([exprs[i] for i in ll]).encode() + b"\x00"
+                if exprs is None:
+                    # blob packed straight from the C arena (no Python
+                    # string objects for the 10^7-row reject stream)
+                    blob = self.enumerator.arena.blob(
+                        uid0 + locs.astype(np.int64))
+                else:
+                    blob = ("\x00".join([exprs[i] for i in locs.tolist()])
+                            .encode() + b"\x00")
                 sel = new_idx[locs]
                 reason_code = np.where(
                     is_const[locs], 0,
@@ -937,7 +991,7 @@ class DiscoveryEngine:
                 def drain(pending):
                     (p_op, p_a, p_b, packed, out_s, out_f) = pending
                     ti = time.perf_counter()
-                    sr = unpack_screen_result(np.asarray(packed))
+                    sr = self._unpack_batch(packed, out_f)
                     st.t_device += time.perf_counter() - ti
                     self.device_seconds += time.perf_counter() - ti
                     ti = time.perf_counter()

@@ -64,11 +64,19 @@ class RunDB:
     # ------------------------------------------------------------------
     def _init_schema(self):
         c = self.conn
+        # `normalized` carries the reference's UNIQUE semantics
+        # (general:672-678) but NOT an inline constraint: maintaining a
+        # unique string index during bulk insert was the single largest
+        # mega-run cost (random-order b-tree inserts over 24M ~60-byte
+        # keys — 525 s of a 20-min depth-5 run).  The engine guarantees
+        # one row per unique upstream (fingerprint dedup), and
+        # ensure_indices() builds a plain normalized index at completion
+        # for the readers' equality lookups.
         c.execute(f"""
             CREATE TABLE IF NOT EXISTS {self.table} (
                 id INTEGER PRIMARY KEY,
                 expression TEXT NOT NULL,
-                normalized TEXT UNIQUE,
+                normalized TEXT,
                 signature TEXT,
                 depth INTEGER,
                 validation_status TEXT DEFAULT 'pending',
@@ -159,6 +167,14 @@ class RunDB:
         if self._indices_made:
             return
         c = self.conn
+        # the reference's UNIQUE(normalized) becomes a plain index built
+        # post-hoc (see _init_schema): readers keep their equality-lookup
+        # speed; uniqueness is enforced upstream by fingerprint dedup
+        # (and deliberately NOT by the index — a resumed run that could
+        # not re-register every stored row re-admits under an id_offset,
+        # and the audit trail must record that rather than drop rows).
+        c.execute(f"CREATE INDEX IF NOT EXISTS "
+                  f"idx_{self.table}_norm ON {self.table}(normalized)")
         c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_sig "
                   f"ON {self.table}(signature)")
         c.execute(f"CREATE INDEX IF NOT EXISTS idx_{self.table}_status "
