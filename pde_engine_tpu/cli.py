@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Emit machine-checkable exactness certificates for "
                         "stored rows (verify independently with "
                         "tools/check_certificates.py)")
+    p.add_argument("--certify-limit", type=int, default=None,
+                   help="Certify at most N rows (shortest-expression "
+                        "first; SymPy proof work is ~0.1-1 s/row)")
     p.add_argument("--multihost", action="store_true",
                    help="Initialize the multi-host JAX runtime "
                         "(jax.distributed; configure via "
@@ -179,7 +182,8 @@ def main(argv=None) -> int:
         if args.heavy_validate:
             run.heavy_validate_from_db(scope=args.verify_scope)
         if args.certify:
-            run.certify_from_db(scope=args.verify_scope)
+            run.certify_from_db(scope=args.verify_scope,
+                                limit=args.certify_limit)
         run.close()
         return 0
 

@@ -445,12 +445,21 @@ class DiscoveryRun:
             self._log(f"audit-kerr [{scope}] {k}: {len(v)}")
         return tags
 
-    def certify_from_db(self, scope: str = "valid") -> Dict:
+    def certify_from_db(self, scope: str = "valid",
+                        limit: Optional[int] = None) -> Dict:
         """Emit machine-checkable exactness certificates for stored rows
         (the offline-certifier role SURVEY §7 stage 9 assigned to Lean;
-        tools/check_certificates.py re-verifies them independently)."""
+        tools/check_certificates.py re-verifies them independently).
+
+        ``limit`` bounds the row count for mega-runs (SymPy proof work is
+        ~0.1-1 s/row); rows are taken shortest-expression-first so the
+        certificate file covers the most interpretable solutions."""
         from .utils.certify import certify_rows
         rows = self._scoped_rows(scope)
+        if limit is not None and len(rows) > limit:
+            rows = sorted(rows, key=lambda r: len(r["expression"]))[:limit]
+            self._log(f"certify: limited to the {limit} shortest of "
+                      f"{len(self._scoped_rows(scope))} {scope} rows")
         out = certify_rows(self.problem, rows,
                            self.problem.get_output_dir(),
                            run_id=self.run_id)
