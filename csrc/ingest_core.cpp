@@ -593,3 +593,267 @@ void ea_truncate(void* h, int64_t keep) {
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// 4. Float64 jet-tape oracle — the gray-zone recheck in C
+// ===========================================================================
+//
+// Mirrors ops/interpreter.eval_jets_np_many / ops/jets.py semantics exactly
+// (same accumulation order in the truncated product, same Horner
+// composition, same binary-exponentiation pow built from sqrt and integer
+// powers).  The NumPy batch oracle pays per-step array dispatch; at depth-5
+// scale its ~480k screen-passer rechecks were ~120 s of wall on the
+// one-core axon host.  This runs the same math tape-at-a-time in C.
+
+namespace {
+
+// Opcode values — must match ops/optable.py:28-38.
+enum { EJ_NOP = 0, EJ_VAR0 = 1, EJ_VAR1 = 2, EJ_CONST = 3, EJ_ADD = 4,
+       EJ_SUB = 5, EJ_MUL = 6, EJ_NEG = 7, EJ_POW = 8, EJ_EXP = 9,
+       EJ_LOG = 10 };
+
+// monomials ordered by total degree, i descending: k(i,j) below.
+static inline int ej_k(int i, int j) {
+    int d = i + j;
+    return d * (d + 1) / 2 + (d - i);
+}
+
+struct EjTables {
+    int order;
+    int T;
+    // truncated-product pairs per output coefficient, in the exact order
+    // jets.mul_table emits them (p ascending, then q ascending)
+    int n_pairs[15];
+    int pairs[15][25][2];
+    int lin0, lin1;              // indices of the (1,0), (0,1) monomials
+
+    explicit EjTables(int R) {
+        order = R;
+        T = (R + 1) * (R + 2) / 2;
+        int k = 0;
+        for (int d = 0; d <= R; ++d) {
+            for (int i = d; i >= 0; --i) {
+                int j = d - i;
+                int np = 0;
+                for (int p = 0; p <= i; ++p)
+                    for (int q = 0; q <= j; ++q) {
+                        pairs[k][np][0] = ej_k(p, q);
+                        pairs[k][np][1] = ej_k(i - p, j - q);
+                        ++np;
+                    }
+                n_pairs[k] = np;
+                ++k;
+            }
+        }
+        lin0 = ej_k(1, 0);
+        lin1 = ej_k(0, 1);
+    }
+};
+
+static EjTables* ej_tables(int order) {
+    static EjTables* cache[5] = {nullptr, nullptr, nullptr, nullptr,
+                                 nullptr};
+    if (order < 0 || order > 4) return nullptr;
+    if (!cache[order]) cache[order] = new EjTables(order);
+    return cache[order];
+}
+
+// out = a * b truncated (same accumulation order as jets.jet_mul)
+static inline void ej_mul(const EjTables* t, const double* a,
+                          const double* b, double* out) {
+    for (int k = 0; k < t->T; ++k) {
+        double acc = a[t->pairs[k][0][0]] * b[t->pairs[k][0][1]];
+        for (int p = 1; p < t->n_pairs[k]; ++p)
+            acc += a[t->pairs[k][p][0]] * b[t->pairs[k][p][1]];
+        out[k] = acc;
+    }
+}
+
+// integer power by binary exponentiation — the exact operation sequence
+// of jets._int_pow (result ⊗ base accumulation, base squarings between)
+static inline double ej_int_pow(double v, int n) {
+    if (n == 0) return 1.0;
+    bool inv = n < 0;
+    if (inv) n = -n;
+    double result = 0.0;
+    bool have = false;
+    double base = v;
+    while (n) {
+        if (n & 1) {
+            result = have ? result * base : base;
+            have = true;
+        }
+        n >>= 1;
+        if (n) base = base * base;
+    }
+    return inv ? 1.0 / result : result;
+}
+
+// v**(num/den) with den in {1, 2}, matching jets._v_pow
+static inline double ej_v_pow(double v, int num, int den) {
+    if (den == 1) return ej_int_pow(v, num);
+    return ej_int_pow(sqrt(v), num);
+}
+
+// fs tables: fs[k] = f^(k)(v)/k! for the POW family — coefficients are
+// the Fraction-exact values from jets.pow_binom_table (hardcoded; see
+// POW_EXPONENTS, optable.py:51-58)
+static const double EJ_POW_COEF[5][5] = {
+    {1.0, -1.0, 1.0, -1.0, 1.0},               // inv        p = -1
+    {1.0, 0.5, -0.125, 0.0625, -0.0390625},    // sqrt       p = 1/2
+    {1.0, 2.0, 1.0, 0.0, 0.0},                 // square     p = 2
+    {1.0, 1.5, 0.375, -0.0625, 0.0234375},     // pow_3_2    p = 3/2
+    {1.0, -1.5, 1.875, -2.1875, 2.4609375},    // pow_neg_3_2 p = -3/2
+};
+static const int EJ_POW_NUM[5][5] = {
+    {-1, -2, -3, -4, -5},
+    {1, -1, -3, -5, -7},
+    {2, 1, 0, -1, -2},
+    {3, 1, -1, -3, -5},
+    {-3, -5, -7, -9, -11},
+};
+static const int EJ_POW_DEN[5] = {1, 2, 1, 2, 2};
+
+// compose f onto jet w via Horner (jets.jet_compose): wt = w minus its
+// constant term; acc = fs[R]; acc = acc*wt + fs[k] downward.
+static inline void ej_compose(const EjTables* t, const double* w,
+                              const double* fs, double* out,
+                              double* scratch) {
+    int T = t->T;
+    double* wt = scratch;          // [T]
+    double* acc = scratch + T;     // [T]
+    double* tmp = scratch + 2 * T; // [T]
+    wt[0] = 0.0;
+    for (int k = 1; k < T; ++k) wt[k] = w[k];
+    for (int k = 0; k < T; ++k) acc[k] = 0.0;
+    acc[0] = fs[t->order];
+    for (int k = t->order - 1; k >= 0; --k) {
+        ej_mul(t, acc, wt, tmp);
+        for (int i = 0; i < T; ++i) acc[i] = tmp[i];
+        acc[0] += fs[k];
+    }
+    for (int k = 0; k < T; ++k) out[k] = acc[k];
+}
+
+}  // namespace
+
+extern "C" {
+
+// tapes: int32[n, L, 3]; lengths: int64[n]; consts: f64[n_consts];
+// points: f64[P, 2]; out: f64[n, P, T].  Returns 0, or -1 on a bad
+// opcode / unsupported order.
+int64_t ej_eval_many(const int32_t* tapes, const int64_t* lengths,
+                     int64_t n, int64_t L, const double* consts,
+                     const double* points, int64_t P, int32_t order,
+                     double* out) {
+    EjTables* t = ej_tables(order);
+    if (!t) return -1;
+    const int T = t->T;
+    // per-candidate register file: [L][P][T]
+    double* buf = (double*)malloc((size_t)L * P * T * sizeof(double));
+    double fs[5];
+    double scratch[3 * 15];
+    if (!buf) return -1;
+    for (int64_t c = 0; c < n; ++c) {
+        const int32_t* tape = tapes + c * L * 3;
+        int64_t len = lengths[c];
+        for (int64_t i = 0; i < len; ++i) {
+            int opc = tape[i * 3 + 0];
+            int ai = tape[i * 3 + 1];
+            int bi = tape[i * 3 + 2];
+            double* dst = buf + i * P * T;
+            const double* av = buf + (int64_t)ai * P * T;
+            const double* bv = buf + (int64_t)bi * P * T;
+            switch (opc) {
+                case EJ_NOP:
+                    memset(dst, 0, (size_t)P * T * sizeof(double));
+                    break;
+                case EJ_VAR0:
+                case EJ_VAR1:
+                    for (int64_t p = 0; p < P; ++p) {
+                        double* o = dst + p * T;
+                        for (int k = 0; k < T; ++k) o[k] = 0.0;
+                        o[0] = points[p * 2 + (opc == EJ_VAR1 ? 1 : 0)];
+                        o[opc == EJ_VAR1 ? t->lin1 : t->lin0] = 1.0;
+                    }
+                    break;
+                case EJ_CONST:
+                    for (int64_t p = 0; p < P; ++p) {
+                        double* o = dst + p * T;
+                        for (int k = 0; k < T; ++k) o[k] = 0.0;
+                        o[0] = consts[bi];
+                    }
+                    break;
+                case EJ_ADD:
+                    for (int64_t k = 0; k < P * T; ++k)
+                        dst[k] = av[k] + bv[k];
+                    break;
+                case EJ_SUB:
+                    for (int64_t k = 0; k < P * T; ++k)
+                        dst[k] = av[k] - bv[k];
+                    break;
+                case EJ_MUL:
+                    for (int64_t p = 0; p < P; ++p)
+                        ej_mul(t, av + p * T, bv + p * T, dst + p * T);
+                    break;
+                case EJ_NEG:
+                    for (int64_t k = 0; k < P * T; ++k) dst[k] = -av[k];
+                    break;
+                case EJ_POW: {
+                    if (bi < 0 || bi > 4) {
+                        free(buf);
+                        return -1;
+                    }
+                    for (int64_t p = 0; p < P; ++p) {
+                        const double* w = av + p * T;
+                        double v = w[0];
+                        for (int k = 0; k <= order; ++k) {
+                            double cc = EJ_POW_COEF[bi][k];
+                            fs[k] = (cc == 0.0)
+                                ? 0.0
+                                : cc * ej_v_pow(v, EJ_POW_NUM[bi][k],
+                                                EJ_POW_DEN[bi]);
+                        }
+                        ej_compose(t, w, fs, dst + p * T, scratch);
+                    }
+                    break;
+                }
+                case EJ_EXP:
+                    for (int64_t p = 0; p < P; ++p) {
+                        const double* w = av + p * T;
+                        double e = exp(w[0]);
+                        double fact = 1.0;
+                        for (int k = 0; k <= order; ++k) {
+                            if (k > 0) fact *= k;
+                            fs[k] = e * (1.0 / fact);
+                        }
+                        ej_compose(t, w, fs, dst + p * T, scratch);
+                    }
+                    break;
+                case EJ_LOG:
+                    for (int64_t p = 0; p < P; ++p) {
+                        const double* w = av + p * T;
+                        double v = w[0];
+                        fs[0] = log(v);
+                        double r = 1.0 / v;
+                        double rk = r;
+                        for (int k = 1; k <= order; ++k) {
+                            fs[k] = ((k % 2 == 1) ? 1.0 : -1.0) * rk / k;
+                            rk = rk * r;
+                        }
+                        ej_compose(t, w, fs, dst + p * T, scratch);
+                    }
+                    break;
+                default:
+                    free(buf);
+                    return -1;
+            }
+        }
+        memcpy(out + c * P * T, buf + (len - 1) * P * T,
+               (size_t)P * T * sizeof(double));
+    }
+    free(buf);
+    return 0;
+}
+
+}  // extern "C"

@@ -137,15 +137,25 @@ def batched_evaluator(order: int, max_nodes: int):
 def eval_jets_np_many(tapes: np.ndarray, lengths: np.ndarray,
                       consts: np.ndarray, points: np.ndarray,
                       order: int) -> np.ndarray:
-    """NumPy float64 jet evaluation of a batch of tapes.
+    """Float64 jet evaluation of a batch of tapes.
 
     tapes: int32[N, L, 3] (padded); lengths: int[N]; points: f64[P, 2].
     Returns f64[N, P, T] jets of each tape's result register.
 
-    Per node, candidates are grouped by opcode so each subgroup takes the
-    exact arithmetic path (no branch waste), but the work inside a group is
-    vectorized — ~50x faster than evaluating tapes one by one.
-    """
+    Prefers the C oracle (csrc ej_eval_many — same math, same operation
+    order, ~5x the NumPy path on the one-core axon hosts); falls back to
+    the NumPy implementation below, which groups candidates by opcode per
+    node so each subgroup takes the exact arithmetic path vectorized."""
+    from ..utils.native import eval_jets_native
+    native = eval_jets_native(tapes, lengths, consts, points, order)
+    if native is not None:
+        return native
+    return _eval_jets_np_many_numpy(tapes, lengths, consts, points, order)
+
+
+def _eval_jets_np_many_numpy(tapes: np.ndarray, lengths: np.ndarray,
+                             consts: np.ndarray, points: np.ndarray,
+                             order: int) -> np.ndarray:
     from .jets import jet_var as _jet_var
 
     N, L, _ = tapes.shape

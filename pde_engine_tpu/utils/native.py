@@ -152,6 +152,11 @@ def _declare(lib: ct.CDLL):
     lib.ea_blob_size.argtypes = [ct.c_void_p, i64p, ct.c_int64]
     lib.ea_blob.argtypes = [ct.c_void_p, i64p, ct.c_int64, ct.c_char_p]
     lib.ea_truncate.argtypes = [ct.c_void_p, ct.c_int64]
+    f64p = ct.POINTER(ct.c_double)
+    lib.ej_eval_many.restype = ct.c_int64
+    lib.ej_eval_many.argtypes = [i32p, i64p, ct.c_int64, ct.c_int64,
+                                 f64p, f64p, ct.c_int64, ct.c_int32,
+                                 f64p]
 
 
 def _as_ptr(arr: np.ndarray, ctype):
@@ -257,6 +262,33 @@ class DedupMap:
                 core.dm_free(h)
             except Exception:
                 pass
+
+
+def eval_jets_native(tapes: np.ndarray, lengths: np.ndarray,
+                     consts: np.ndarray, points: np.ndarray,
+                     order: int) -> Optional[np.ndarray]:
+    """C float64 jet-tape oracle (csrc ej_eval_many) — same math and
+    operation order as ops/interpreter.eval_jets_np_many.  Returns None
+    when the native core is unavailable or the call is unsupported
+    (order > 4, unknown opcode) so callers fall back to NumPy."""
+    core = load_core()
+    if core is None or order > 4:
+        return None
+    tapes = np.ascontiguousarray(tapes, dtype=np.int32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    consts = np.ascontiguousarray(consts, dtype=np.float64)
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    n, L, _ = tapes.shape
+    P = points.shape[0]
+    T = (order + 1) * (order + 2) // 2
+    out = np.empty((n, P, T), dtype=np.float64)
+    with np.errstate(all="ignore"):
+        r = core.ej_eval_many(
+            _as_ptr(tapes, ct.c_int32), _as_ptr(lengths, ct.c_int64),
+            ct.c_int64(n), ct.c_int64(L), _as_ptr(consts, ct.c_double),
+            _as_ptr(points, ct.c_double), ct.c_int64(P),
+            ct.c_int32(order), _as_ptr(out, ct.c_double))
+    return out if r == 0 else None
 
 
 class ExprArena:

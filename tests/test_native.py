@@ -176,3 +176,44 @@ def test_native_resume_matches_fresh(tmp_path):
     rows_c = key_cols(fresh)
     fresh.close()
     assert rows_b == rows_c
+
+
+def test_c_jet_oracle_matches_numpy():
+    """The C float64 tape oracle (ej_eval_many) must agree with the NumPy
+    implementation on real enumerated tapes — same math, same operation
+    order, so differences can only come from libm-vs-numpy transcendental
+    rounding (<= a few ulp)."""
+    import numpy as np
+
+    from pde_engine_tpu.enumerator import Enumerator
+    from pde_engine_tpu.models import load_problem
+    from pde_engine_tpu.ops.interpreter import _eval_jets_np_many_numpy
+    from pde_engine_tpu.utils.native import eval_jets_native
+
+    p = load_problem("force_free")
+    enum = Enumerator(p)
+    cands = []
+    for c in enum.primitive_candidates():
+        enum.add_unique(c)
+        cands.append(c)
+    # all depth-2 candidates + a handful of depth-3 (covers every opcode)
+    d2 = list(enum.candidates_at_depth(2))
+    for c in d2:
+        enum.add_unique(c)
+    d3 = list(enum.candidates_at_depth(3))[:200]
+    cands = d2 + d3
+    L = max(len(c.tape) for c in cands)
+    tapes = np.stack([c.tape.padded(L) for c in cands])
+    lengths = np.array([len(c.tape) for c in cands], np.int64)
+    consts = p.consts.as_array(np.float64)
+    pts = p.screen_points
+    for order in (1, 4):
+        ref = _eval_jets_np_many_numpy(tapes, lengths, consts, pts, order)
+        out = eval_jets_native(tapes, lengths, consts, pts, order)
+        assert out is not None, "native core must be available in CI"
+        # identical NaN/Inf structure
+        np.testing.assert_array_equal(np.isfinite(ref), np.isfinite(out))
+        m = np.isfinite(ref)
+        # atol floor: catastrophic-cancellation coefficients near 1e-16
+        # amplify 1-ulp libm-vs-numpy transcendental differences
+        np.testing.assert_allclose(out[m], ref[m], rtol=1e-12, atol=5e-15)
