@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(matches the reference fast path's effective "
                         "op set)")
     p.add_argument("--no-prune", action="store_true")
+    p.add_argument("--no-audit-rejects", action="store_true",
+                   help="Mega-scale mode: screen/dedup/count rejects but "
+                        "store only valid rows (a 10^9-candidate depth's "
+                        "reject audit alone is ~100 GB)")
     p.add_argument("--omega", type=float, default=0.0,
                    help="Rigid field-line rotation rate (force_free only)")
     p.add_argument("--confirm-symbolic", action="store_true",
@@ -107,6 +111,7 @@ def main(argv=None) -> int:
         confirm_symbolic=(args.confirm_symbolic
                           or args.mode == "sequential"),
         defer_heavy_checks=not args.heavy_checks,
+        audit_rejects=not args.no_audit_rejects,
     )
 
     mesh = None

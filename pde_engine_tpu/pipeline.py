@@ -657,6 +657,19 @@ class DiscoveryEngine:
         sqlite writer (production with the C++ core), as raw DB tuples
         (production fallback, on_rows sink) or as Rows (standalone)."""
         store_const = self.config.store_constants
+        if not self.config.audit_rejects:
+            # mega-scale mode: rejects are screened/deduped/counted but
+            # not persisted (see SearchConfig.audit_rejects)
+            n_skip = int((~passing).sum())
+            if not store_const:
+                n_skip -= int(is_const.sum())
+            self.n_rows += max(n_skip, 0)
+            if exprs:
+                self.last_expr = exprs[-1]
+            elif len(is_const):
+                self.last_expr = self.enumerator.arena.get(
+                    uid0 + len(is_const) - 1)
+            return
         if self.native_sink is not None:
             emit = ~passing
             if not store_const:
@@ -799,8 +812,12 @@ class DiscoveryEngine:
             reason = (f"Valid (numeric zero, relres ≈ {rel64:.2e}; "
                       "symbolic confirm skipped)")
 
+        # NOTE: the DB sink sees the row only AFTER the (optional) inline
+        # heavy checks — on_row snapshots the row into an INSERT tuple, so
+        # calling it before a heavy demotion would persist 'valid' for a
+        # row the engine then rejected.
         row = self._add_row(cand, depth, True, reason,
-                            f"{f64_tag}+{method}", ev, on_row,
+                            f"{f64_tag}+{method}", ev, None,
                             known=self._match_known(cand, ev["fp_vals"]),
                             key=key, rel64=rel64)
         st.valid += 1
@@ -820,6 +837,8 @@ class DiscoveryEngine:
                 row.validation_reason = h_reason
                 st.valid -= 1
                 self.valid_rows.remove(row)
+        if on_row is not None:
+            on_row(row)
 
     def _gray_numeric(self, part):
         """The numeric (NumPy float64) section of the gray recheck for one
@@ -895,7 +914,12 @@ class DiscoveryEngine:
 
     def _add_row(self, cand, depth, is_valid, reason, method, ev,
                  on_row=None, known=None, key: int = 0,
-                 rel64: Optional[float] = None) -> Row:
+                 rel64: Optional[float] = None) -> Optional[Row]:
+        if not is_valid and not self.config.audit_rejects:
+            # mega-scale mode: rejects counted, not persisted
+            self.n_rows += 1
+            self.last_expr = cand.expr_str
+            return None
         # The signature IS the dedup key (hex) — resume rebuilds the
         # fp→uid map by parsing it back, so forward-path and resume keys
         # agree across processes by construction.

@@ -124,6 +124,13 @@ class DiscoveryRun:
                 "max_depth": max_depth,
                 "include_special_ops": self.config.include_special_ops,
                 "prune": self.config.prune,
+                "audit_rejects": self.config.audit_rejects,
+                # authoritative per-depth counts — with audit_rejects off
+                # the DB holds only valid rows, so post-hoc reports read
+                # these instead of SQL aggregates
+                "by_depth_counts": {
+                    str(s.depth): {"generated": s.unique, "valid": s.valid}
+                    for s in self.engine.stats},
             })
             self._save_jet_snapshot()
             self.db.worker_heartbeat(os.getpid(), "device",
@@ -167,7 +174,12 @@ class DiscoveryRun:
             run_id=self.run_id, max_depth=max_depth,
             classify_novel=(len(self.engine.valid_rows)
                             <= self.config.novel_class_limit),
-            by_depth_counts=self.db.depth_counts(),
+            # engine stats are authoritative when reject rows were not
+            # persisted (audit_rejects=0); otherwise SQL aggregates
+            by_depth_counts=(
+                self.db.depth_counts() if self.config.audit_rejects
+                else {s.depth: {"generated": s.unique, "valid": s.valid}
+                      for s in self.engine.stats}),
             valid_rows=self.db.rows("is_valid=1"))
         report["wall_seconds"] = time.time() - t_start
         report["device_seconds"] = self.engine.device_seconds
@@ -335,10 +347,28 @@ class DiscoveryRun:
 
     def print_report_from_db(self, classify_novel: bool = True) -> Dict:
         rows = self.db.rows()
-        report = build_report(self.problem, rows, run_id=self.run_id,
+        state = self.db.load_generator_state() or {}
+        # runs with audit_rejects off hold only valid rows — the saved
+        # per-depth counts are the authoritative totals
+        counts = None
+        if state.get("audit_rejects") is False:
+            counts = {int(d): v
+                      for d, v in (state.get("by_depth_counts")
+                                   or {}).items()}
+        report = build_report(self.problem,
+                              rows if counts is None else None,
+                              run_id=self.run_id,
                               max_depth=(self.db.metadata() or {"max_depth": 0}
                                          )["max_depth"] or 0,
-                              classify_novel=classify_novel)
+                              classify_novel=classify_novel,
+                              by_depth_counts=counts,
+                              valid_rows=([r for r in rows
+                                           if r["is_valid"]]
+                                          if counts is not None else None))
+        if counts is not None:
+            self._log("NOTE: reject rows were not persisted "
+                      "(audit_rejects=0); totals come from the saved "
+                      "generator state")
         self._log(format_report_text(report))
         return report
 

@@ -87,6 +87,14 @@ class SearchConfig:
     # than the original run) bit-exact for small/medium runs.
     final_append_limit: int = 2_000_000
 
+    # Persist reject rows to the audit DB (reference parity: every
+    # expression gets a row).  At depth-6 scale (~10^9 candidates,
+    # ~10^8-10^9 uniques) the reject audit alone is ~100 GB and hours of
+    # sqlite; --no-audit-rejects keeps full screening/dedup/valid-row
+    # semantics but stores only valid rows + per-depth counts, and the
+    # report notes the elision.
+    audit_rejects: bool = True
+
     # Hard HBM budget for the device jet cache, in rows (~550 B/row at
     # order 4).  Mid-depth uniques beyond this cap are still screened,
     # stored, and deduplicated — they just never become PARENTS of deeper

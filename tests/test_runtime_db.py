@@ -236,3 +236,33 @@ def test_kerr_anchor_only_known_semantics(outdir):
     txt = format_report_text(rep)
     assert "found: 0/0" in txt
     assert "ANCHR" in txt
+
+
+def test_no_audit_rejects_mode(tmp_path):
+    """--no-audit-rejects: rejects screened/deduped/counted but not
+    persisted; valid rows stored; reports read the saved per-depth counts."""
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    run = DiscoveryRun("laplace",
+                       config=SearchConfig(max_depth=2,
+                                           audit_rejects=False),
+                       db_path=str(tmp_path / "na.db"), verbose=False)
+    report = run.run(2)
+    full = DiscoveryRun("laplace",
+                        config=SearchConfig(max_depth=2),
+                        db_path=str(tmp_path / "full.db"), verbose=False)
+    ref = full.run(2)
+    # same totals and valids as the audited run
+    assert report["total_generated"] == ref["total_generated"]
+    assert report["total_valid"] == ref["total_valid"]
+    assert report["by_depth"] == ref["by_depth"]
+    # DB holds only valid rows (plus nothing else)
+    rows = run.db.rows()
+    assert all(bool(r["is_valid"]) for r in rows)
+    assert len(rows) == report["total_valid"]
+    # post-hoc report reconstructs true totals from generator state
+    post = run.print_report_from_db(classify_novel=False)
+    assert post["total_generated"] == ref["total_generated"]
+    run.close()
+    full.close()
