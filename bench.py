@@ -34,7 +34,6 @@ def main():
     from pde_engine_tpu.ops.jets import n_coeffs
     from pde_engine_tpu.parallel.incremental import JetCache, make_op_kernel
     from pde_engine_tpu.parallel.pallas_engine import make_pallas_op_kernel
-    from pde_engine_tpu.parallel.incremental import COMPACT_MAX_PASSERS
     from pde_engine_tpu.parallel.search import unpack_screen_result_compact
     from pde_engine_tpu.utils.compile_cache import enable_compile_cache
 
@@ -48,10 +47,14 @@ def main():
     enum = Enumerator(problem, include_special_ops=True, prune=True)
     spoints = jnp.asarray(problem.screen_points, jnp.float32)
     fpoints = jnp.asarray(problem.fingerprint_points, jnp.float32)
+    # same capacity/quantum as the production pipeline so bench shares its
+    # compiled executables (every distinct cache capacity is a distinct
+    # operand shape = a fresh multi-minute remote compile on the tunnel)
     cache = JetCache(n_screen=len(problem.screen_points),
                      t_screen=n_coeffs(problem.residual_order),
                      n_fp=len(problem.fingerprint_points),
-                     initial_capacity=1 << 16)
+                     initial_capacity=1 << 20,
+                     grow_quantum=1 << 20)
 
     def op_kernel(name):
         mk = make_pallas_op_kernel if use_pallas else make_op_kernel
@@ -91,8 +94,7 @@ def main():
             packed, out_s, out_f = op_kernel(op_name)(
                 cache.screen, cache.fp, jnp.asarray(ab), spoints, fpoints)
             cu = unpack_screen_result_compact(
-                np.asarray(packed), npad, len(problem.fingerprint_points),
-                min(npad, COMPACT_MAX_PASSERS))
+                np.asarray(packed), len(problem.fingerprint_points))
             fpa, fpb = cu.sr.fp_a, cu.sr.fp_b
             keep = []
             for j, c in enumerate(batch):

@@ -29,11 +29,6 @@ from .search import (ScreenResult, _RESIDUALS, _fold_hash, _quantize,
                      pack_screen_result, pack_screen_result_compact,
                      verdicts_from_jets)
 
-# Compact-packing sidecar capacity: passers whose raw fingerprint values
-# ride along in the verdict transfer.  Batches with more passers trigger
-# a host-side refetch from the device-resident fingerprint jets (rare —
-# mega-depth pass rates are ~1-2%).
-COMPACT_MAX_PASSERS = 32768
 
 # Fixed branch order of the universal kernel's lax.switch.
 OP_ORDER: Tuple[str, ...] = tuple(UNARY_NAMES) + tuple(BINARY_NAMES)
@@ -183,11 +178,8 @@ def make_universal_kernel_raw(order: int, residual_key: str,
 
         sr = verdicts_from_jets(out_s, out_f, spoints, residual_fn,
                                 screen_rtol)
-        if compact:
-            packed = pack_screen_result_compact(
-                sr, min(a_s.shape[0], COMPACT_MAX_PASSERS))
-        else:
-            packed = pack_screen_result(sr)
+        packed = (pack_screen_result_compact(sr) if compact
+                  else pack_screen_result(sr))
         return (packed,
                 out_s.reshape(out_s.shape[0], -1),
                 out_f.reshape(out_f.shape[0], -1))

@@ -153,12 +153,117 @@ def make_pallas_universal_kernel(order: int, residual_key: str,
         jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
         fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
         sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
-        if compact:
-            from .incremental import COMPACT_MAX_PASSERS
-            packed = pack_screen_result_compact(
-                sr, min(n, COMPACT_MAX_PASSERS))
-        else:
-            packed = pack_screen_result(sr)
+        packed = (pack_screen_result_compact(sr) if compact
+                  else pack_screen_result(sr))
+        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
+
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_segmented_kernel(order: int, residual_key: str,
+                                 screen_rtol: float, n_screen: int,
+                                 n_fp: int, tile: int = TILE,
+                                 interpret: bool = False,
+                                 compact: bool = True):
+    """ONE dispatch for a whole MIXED-op superbatch: candidates arrive as
+    tile-aligned op segments and a per-tile op-id array rides in as a
+    scalar-prefetch argument; each tile ``lax.switch``es into its op's
+    jet-algebra branch inside the kernel.
+
+    This is the per-depth dispatch-collapse: the per-op universal kernel
+    costs one host->device dispatch per (op, shape) batch — ~34 per
+    force_free depth, and the tunnel charges ~5 ms each, 4x the actual
+    compute at depth-4 scale.  The segmented kernel runs the same depth
+    in ceil(total/262144) dispatches."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .incremental import OP_ORDER
+
+    residual_fn = _RESIDUALS[residual_key]
+    T = n_coeffs(order)
+    P = n_screen
+    F = n_fp
+    rows_s = T * P
+    rows_f = 3 * F
+
+    def kernel(tile_op_ref, points_ref, a_s_ref, a_f_ref, b_s_ref,
+               b_f_ref, out_s_ref, out_f_ref, res_ref, scale_ref):
+        op = tile_op_ref[pl.program_id(0)]
+        a_s = lj_from_ref(a_s_ref, P, T)
+        a_f = lj_from_ref(a_f_ref, F, 3)
+        b_s = lj_from_ref(b_s_ref, P, T)
+        b_f = lj_from_ref(b_f_ref, F, 3)
+
+        def branch(name):
+            unary = name in UNARY_NAMES
+
+            def fn(_):
+                s = apply_surface_op(name, a_s, None if unary else b_s,
+                                     order, lanes)
+                f = apply_surface_op(name, a_f, None if unary else b_f,
+                                     1, lanes)
+                # LJ is not a pytree — return uniformly-broadcast column
+                # tuples so every branch has one output signature
+                return (tuple(jnp.broadcast_to(c, (P, tile))
+                              .astype(jnp.float32) for c in s.cols),
+                        tuple(jnp.broadcast_to(c, (F, tile))
+                              .astype(jnp.float32) for c in f.cols))
+            return fn
+
+        s_cols, f_cols = jax.lax.switch(
+            op, [branch(n) for n in OP_ORDER], 0)
+        out_s = lanes.stack(list(s_cols), axis=-1)
+        out_f = lanes.stack(list(f_cols), axis=-1)
+        pts = points_ref[:]
+        res, scale = residual_fn(out_s, pts, lanes)
+        lj_store(out_s_ref, out_s, P, tile)
+        lj_store(out_f_ref, out_f, F, tile)
+        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
+        scale_ref[:] = jnp.broadcast_to(scale,
+                                        (P, tile)).astype(scale_ref.dtype)
+
+    # under scalar prefetch every index_map receives the prefetch ref as
+    # a trailing argument
+    def spec(r):
+        return pl.BlockSpec((r, tile), lambda i, _ops: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    pts_spec = pl.BlockSpec((P, 1, 2), lambda i, _ops: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(cache_screen, cache_fp, ab_idx, tile_ops, spoints, fpoints):
+        n = ab_idx.shape[0]
+        assert n % tile == 0, (n, tile)
+        a_idx = ab_idx[:, 0]
+        b_idx = ab_idx[:, 1]
+        a_s = to_lane_major(cache_screen[a_idx], P, T)
+        a_f = to_lane_major(cache_fp[a_idx], F, 3)
+        b_s = to_lane_major(cache_screen[b_idx], P, T)
+        b_f = to_lane_major(cache_fp[b_idx], F, 3)
+        points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=[pts_spec, spec(rows_s), spec(rows_f),
+                      spec(rows_s), spec(rows_f)],
+            out_specs=[spec(rows_s), spec(rows_f), spec(P), spec(P)],
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
+            jax.ShapeDtypeStruct((P, n), jnp.float32),
+            jax.ShapeDtypeStruct((P, n), jnp.float32),
+        ]
+        out_s_lm, out_f_lm, res, scale = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret)(tile_ops, points3, a_s, a_f, b_s, b_f)
+        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
+        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
+        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
+        packed = (pack_screen_result_compact(sr) if compact
+                  else pack_screen_result(sr))
         return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
 
     return jax.jit(call)

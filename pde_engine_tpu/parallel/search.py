@@ -220,33 +220,23 @@ def unpack_screen_result(packed: np.ndarray) -> ScreenResult:
     )
 
 
-def sidecar_rows(n_fp: int, max_passers: int) -> int:
-    """Rows the passer sidecar occupies in the compact packing."""
-    payload = max_passers * (n_fp * 3 + 1)
-    return (payload + 2) // 3
-
-
-def pack_screen_result_compact(sr: ScreenResult, max_passers: int):
+def pack_screen_result_compact(sr: ScreenResult):
     """Pack verdicts into ONE uint32 array of 12 B/candidate (vs 108 B
     for :func:`pack_screen_result`) — at depth-5 scale the tunnel's
     device→host bandwidth on the full packing was ~50% of device wall.
 
-    Layout (rows of 3 uint32):
-      [0, N):   fp_a | fp_b | (rel_max's top 16 bits (bfloat16
-                truncation, exact flag bits preserved) << 16 | flags)
-                flags: bit0 screen_ok, bit1 nonfinite, bit2 is_const,
-                bit3 fp_finite
-      [N]:      header (n_passers_total, max_passers, 0)
-      [N+1, N+1+sidecar_rows): the first ``max_passers`` screen passers'
-                (fp_vals [F*3] f32, batch index) — bitcast to uint32 —
-                flattened and padded to a multiple of 3.  Only passers
-                need raw fingerprint values on the host (known-solution
-                matching + evidence); rejects don't.
+    Layout [N, 3]:
+      col 0: fp_a    col 1: fp_b
+      col 2: rel_max's top 16 bits (bfloat16 truncation) in the high
+             half; flags in the low: bit0 screen_ok, bit1 nonfinite,
+             bit2 is_const, bit3 fp_finite
 
-    If a batch has more than ``max_passers`` passers the header count
-    says so and the caller re-fetches full fp rows from the (still
-    device-resident) fingerprint-jet output instead."""
-    n = sr.screen_ok.shape[0]
+    ``fp_vals`` (raw fingerprint values — needed only for the rare
+    screen passers' evidence/known-matching) deliberately does NOT ride
+    along: the caller gathers passer rows from the device-resident
+    fingerprint-jet output after reading the flags.  An earlier design
+    packed a passer sidecar inside the kernel via ``jnp.nonzero(size=)``;
+    its sort-based lowering cost 2.5× the whole screen kernel."""
     u32 = jnp.uint32
     flags = (sr.screen_ok.astype(u32)
              | (sr.nonfinite.astype(u32) << 1)
@@ -255,61 +245,37 @@ def pack_screen_result_compact(sr: ScreenResult, max_passers: int):
     rel_bits = jax.lax.bitcast_convert_type(
         sr.rel_max.astype(jnp.float32), u32)
     col2 = (rel_bits & u32(0xFFFF0000)) | flags
-    body = jnp.stack([sr.fp_a, sr.fp_b, col2], axis=1)
-
-    count = jnp.sum(sr.screen_ok.astype(jnp.int32))
-    (idx,) = jnp.nonzero(sr.screen_ok, size=max_passers, fill_value=-1)
-    safe = jnp.clip(idx, 0, n - 1)
-    fpv = sr.fp_vals.astype(jnp.float32)[safe]          # [MAXP, F*3]
-    payload = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(fpv, u32),
-         jax.lax.bitcast_convert_type(
-             idx.astype(jnp.int32), u32)[:, None]],
-        axis=1).reshape(-1)                              # [MAXP*(F*3+1)]
-    pad = (-payload.shape[0]) % 3
-    payload = jnp.concatenate(
-        [payload, jnp.zeros(pad, u32)]).reshape(-1, 3)
-    header = jnp.stack(
-        [count.astype(u32), jnp.asarray(max_passers, u32),
-         jnp.zeros((), u32)])[None, :]
-    return jnp.concatenate([body, header, payload], axis=0)
+    return jnp.stack([sr.fp_a, sr.fp_b, col2], axis=1)
 
 
 class CompactUnpack(NamedTuple):
     sr: ScreenResult
-    n_passers: int          # true passer count (may exceed max_passers)
-    passer_idx: np.ndarray  # batch indices with fp_vals present
+    n_passers: int          # passer count
+    passer_idx: np.ndarray  # batch indices of the passers
 
 
-def unpack_screen_result_compact(packed: np.ndarray, n: int, n_fp: int,
-                                 max_passers: int) -> CompactUnpack:
-    """Host-side inverse of pack_screen_result_compact.  ``fp_vals`` is a
-    zeros array with only the sidecar's passer rows scattered in — exactly
-    the rows the pipeline reads (``_ev_at`` runs only for passers)."""
-    packed = np.ascontiguousarray(packed, dtype=np.uint32)
-    body = packed[:n]
-    count = int(packed[n, 0])
-    payload = packed[n + 1:].reshape(-1)
-    width = n_fp * 3 + 1
-    payload = payload[:max_passers * width].reshape(max_passers, width)
-    idx = payload[:, -1].view(np.int32)
-    fpv = payload[:, :-1].view(np.float32)
+def unpack_screen_result_compact(packed: np.ndarray,
+                                 n_fp: int) -> CompactUnpack:
+    """Host-side inverse of pack_screen_result_compact.  ``fp_vals`` is
+    a zeros array — the pipeline scatters in the passer rows it gathers
+    from the device (``_ev_at`` reads only passer rows)."""
+    body = np.ascontiguousarray(packed, dtype=np.uint32)
+    n = body.shape[0]
     col2 = body[:, 2]
     rel = (col2 & np.uint32(0xFFFF0000)).view(np.float32)
-    fp_vals = np.zeros((n, n_fp * 3), np.float32)
-    live = idx >= 0
-    fp_vals[idx[live]] = fpv[live]
+    screen_ok = (col2 & 1) != 0
+    idx = np.nonzero(screen_ok)[0].astype(np.int32)
     sr = ScreenResult(
-        screen_ok=(col2 & 1) != 0,
+        screen_ok=screen_ok,
         rel_max=rel,
         nonfinite=(col2 & 2) != 0,
         is_const=(col2 & 4) != 0,
         fp_a=body[:, 0],
         fp_b=body[:, 1],
         fp_finite=(col2 & 8) != 0,
-        fp_vals=fp_vals,
+        fp_vals=np.zeros((n, n_fp * 3), np.float32),
     )
-    return CompactUnpack(sr=sr, n_passers=count, passer_idx=idx[live])
+    return CompactUnpack(sr=sr, n_passers=int(idx.size), passer_idx=idx)
 
 
 def verdicts_from_jets_np(jets, fj, spoints, residual_fn,

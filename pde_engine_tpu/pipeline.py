@@ -256,27 +256,29 @@ class DiscoveryEngine:
         return make_op_kernel(op_name=op_name, compact=True, **kw)
 
     def _unpack_batch(self, packed, out_f) -> ScreenResult:
-        """Unpack a batch's verdicts: compact on the single-device path
-        (with the rare >max_passers sidecar-overflow refetch from the
-        device-resident fingerprint jets), full packing under a mesh."""
+        """Unpack a batch's verdicts: compact (12 B/candidate) on the
+        single-device path, with the passers' raw fingerprint values
+        gathered from the device-resident fingerprint jets afterwards
+        (quantized gather shapes — each distinct shape is an executable);
+        full packing under a mesh."""
         if self.mesh is not None:
             return unpack_screen_result(np.asarray(packed))
-        from .parallel.incremental import (COMPACT_MAX_PASSERS,
-                                           make_select_kernel)
+        from .parallel.incremental import make_select_kernel
         from .parallel.search import unpack_screen_result_compact
         import jax.numpy as jnp
-        npad = int(out_f.shape[0])
-        maxp = min(npad, COMPACT_MAX_PASSERS)
         cu = unpack_screen_result_compact(
-            np.asarray(packed), npad,
-            len(self.problem.fingerprint_points), maxp)
-        if cu.n_passers > maxp:
-            miss = np.setdiff1d(
-                np.nonzero(cu.sr.screen_ok)[0].astype(np.int32),
-                cu.passer_idx)
+            np.asarray(packed), len(self.problem.fingerprint_points))
+        if cu.n_passers:
+            k = cu.n_passers
+            kpad = 1024
+            while kpad < k:
+                kpad *= 8
+            kpad = min(kpad, int(out_f.shape[0]))
+            idx = np.zeros(max(kpad, k), np.int32)
+            idx[:k] = cu.passer_idx
             rows = np.asarray(make_select_kernel()(
-                out_f, jnp.asarray(miss)))
-            cu.sr.fp_vals[miss] = rows
+                out_f, jnp.asarray(idx)))
+            cu.sr.fp_vals[cu.passer_idx] = rows[:k]
         return cu.sr
 
     def _eval_tape_groups(self, cands: List[Candidate]):
@@ -539,7 +541,8 @@ class DiscoveryEngine:
                     b_u: Optional[np.ndarray], sr: ScreenResult,
                     depth: int, st: DepthStats, on_row=None,
                     out_s=None, out_f=None, append_cache: bool = True,
-                    on_rows=None, retain_strings: bool = True):
+                    on_rows=None, retain_strings: bool = True,
+                    row_offset: int = 0, defer_append_to=None):
         """Fully vectorized ingestion: dedup, unique registration, verdict
         classification and reject-row emission all happen at array level —
         per-candidate Python survives only for screen PASSERS (rare).
@@ -624,13 +627,21 @@ class DiscoveryEngine:
 
         with _Section("cache_append"):
             if out_s is not None and k_new and append_cache:
-                # HBM budget: append only the uid-prefix that fits (uids
-                # are consecutive in batch order, so the cache invariant
-                # rows == uids [0, cache.n) survives a partial append)
-                room = self.config.max_cache_rows - self.cache.n
-                if room > 0:
-                    self._append_kept(out_s, out_f,
-                                      new_idx[:room].tolist())
+                if defer_append_to is not None:
+                    # segmented superbatch: one fused append per dispatch
+                    # instead of one per op segment (uid order preserved —
+                    # segments ingest in superbatch order)
+                    defer_append_to.extend(
+                        (new_idx + row_offset).tolist())
+                else:
+                    # HBM budget: append only the uid-prefix that fits
+                    # (uids are consecutive in batch order, so the cache
+                    # invariant rows == uids [0, cache.n) survives a
+                    # partial append)
+                    room = self.config.max_cache_rows - self.cache.n
+                    if room > 0:
+                        self._append_kept(out_s, out_f,
+                                          new_idx[:room].tolist())
 
     _R_CONST = "Zero gradient (constant expression)"
     _R_NONFIN = "Non-finite on safe domain (rejected)"
@@ -971,6 +982,140 @@ class DiscoveryEngine:
         return row
 
     # ------------------------------------------------------------------
+    # Segmented superbatch path (single-device Pallas)
+    # ------------------------------------------------------------------
+
+    def _use_segmented(self) -> bool:
+        if self.config.use_segmented is not None:
+            return self.config.use_segmented
+        return self.mesh is None and self._use_pallas()
+
+    def _seg_kernel(self):
+        import jax
+
+        from .parallel.pallas_engine import make_pallas_segmented_kernel
+        return make_pallas_segmented_kernel(
+            order=self.problem.residual_order,
+            residual_key=self.problem.get_residual_key(),
+            screen_rtol=float(self.screen_rtol),
+            n_screen=len(self.problem.screen_points),
+            n_fp=len(self.problem.fingerprint_points),
+            # interpret mode makes the segmented path testable on CPU
+            # (config.use_segmented=True under the test suite's forced
+            # CPU platform)
+            interpret=(jax.default_backend() == "cpu"),
+            compact=True)
+
+    def _run_depth_segmented(self, depth: int, max_depth: int,
+                             st: DepthStats, on_row, on_rows, on_batch):
+        """One device dispatch per ~batch_size candidates of MIXED ops:
+        op batches pack into a tile-aligned superbatch with a per-tile
+        op-id array (parallel/pallas_engine.make_pallas_segmented_kernel).
+        The per-op path costs one dispatch per (op, shape) — ~34 per
+        depth, ~5 ms of tunnel latency each; this path costs
+        ceil(total/batch_size) + one fused cache append each."""
+        import jax.numpy as jnp
+
+        from .parallel.incremental import OP_INDEX
+
+        TILE = 512
+        SUPER = max(TILE, (self.config.batch_size // TILE) * TILE)
+        n_tiles = SUPER // TILE
+        kernel = self._seg_kernel()
+        append_ok = (depth < max_depth
+                     or self.cache.n < self.config.final_append_limit)
+
+        gen = self.enumerator.vector_batches_at_depth(
+            depth, SUPER, max_parent_uid=self.cache.n)
+        ab = np.zeros((SUPER, 2), np.int32)
+        tile_ops = np.zeros(n_tiles, np.int32)
+        segs: List = []
+        fill_tiles = 0
+        pending = None
+
+        def dispatch():
+            nonlocal ab, tile_ops, segs, fill_tiles
+            td = time.perf_counter()
+            packed, out_s, out_f = kernel(
+                self.cache.screen, self.cache.fp, jnp.asarray(ab),
+                jnp.asarray(tile_ops), self._spoints, self._fpoints)
+            st.t_device += time.perf_counter() - td
+            item = (segs, packed, out_s, out_f)
+            ab = np.zeros((SUPER, 2), np.int32)
+            tile_ops = np.zeros(n_tiles, np.int32)
+            segs = []
+            fill_tiles = 0
+            return item
+
+        def drain(item):
+            d_segs, packed, out_s, out_f = item
+            ti = time.perf_counter()
+            sr = self._unpack_batch(packed, out_f)
+            st.t_device += time.perf_counter() - ti
+            self.device_seconds += time.perf_counter() - ti
+            ti = time.perf_counter()
+            kept: List[int] = []
+            for (op_name, start, a_seg, b_seg) in d_segs:
+                n = a_seg.size
+                view = ScreenResult(
+                    *[f[start:start + n] for f in sr])
+                self._ingest_vec(
+                    op_name, a_seg, b_seg, view, depth, st, on_row,
+                    out_s, out_f, append_cache=append_ok,
+                    on_rows=on_rows,
+                    retain_strings=(depth < max_depth),
+                    row_offset=start, defer_append_to=kept)
+            if kept and append_ok:
+                room = self.config.max_cache_rows - self.cache.n
+                if room > 0:
+                    self._append_kept(out_s, out_f, kept[:room])
+            st.t_ingest += time.perf_counter() - ti
+            self._gray_maybe_submit()
+            if on_batch is not None:
+                on_batch(st)
+
+        while True:
+            te = time.perf_counter()
+            item = next(gen, None)
+            st.t_enum += time.perf_counter() - te
+            if item is None:
+                break
+            op_name, a_u, b_u = item
+            if a_u.size == 0:
+                continue
+            opid = OP_INDEX[op_name]
+            pos = 0
+            while pos < a_u.size:
+                room_rows = (n_tiles - fill_tiles) * TILE
+                if room_rows == 0:
+                    newitem = dispatch()
+                    if pending is not None:
+                        drain(pending)
+                    pending = newitem
+                    continue
+                take = min(int(a_u.size) - pos, room_rows)
+                start = fill_tiles * TILE
+                ab[start:start + take, 0] = a_u[pos:pos + take]
+                if b_u is not None:
+                    ab[start:start + take, 1] = b_u[pos:pos + take]
+                used = -(-take // TILE)
+                tile_ops[fill_tiles:fill_tiles + used] = opid
+                # pad rows in the segment's last tile keep ab == (0, 0):
+                # the branch runs on uid-0 operands and the results are
+                # outside every segment's [start, start+n) window
+                segs.append((op_name, start, a_u[pos:pos + take],
+                             None if b_u is None else b_u[pos:pos + take]))
+                fill_tiles += used
+                pos += take
+        if fill_tiles:
+            newitem = dispatch()
+            if pending is not None:
+                drain(pending)
+            pending = newitem
+        if pending is not None:
+            drain(pending)
+
+    # ------------------------------------------------------------------
     # Main loop
     # ------------------------------------------------------------------
 
@@ -992,6 +1137,24 @@ class DiscoveryEngine:
                     self._ingest(group, evals, depth, st, on_row,
                                  out_s, out_f)
             elif use_incremental:
+                if self.cache.n < self.enumerator.count_uniques():
+                    trunc = self.enumerator.count_uniques() - self.cache.n
+                    print(f"  [hbm] parent window truncated: {trunc} of "
+                          f"{self.enumerator.count_uniques()} uniques "
+                          "exceed max_cache_rows and are not composed "
+                          "deeper on this chip (full coverage: uid-range "
+                          "sharded mesh path)", flush=True)
+                if self._use_segmented():
+                    self._run_depth_segmented(depth, max_depth, st,
+                                              on_row, on_rows, on_batch)
+                    tg = time.perf_counter()
+                    self._flush_gray(depth, st, on_row)
+                    st.t_gray = time.perf_counter() - tg
+                    st.seconds = time.perf_counter() - t0
+                    self.stats.append(st)
+                    if on_depth is not None:
+                        on_depth(st)
+                    continue
                 # software pipeline: batch k+1 is dispatched to the device
                 # before batch k's results are unpacked/ingested on the
                 # host, so device execution hides behind host work.  Safe:
@@ -1003,13 +1166,6 @@ class DiscoveryEngine:
                 gen = self.enumerator.vector_batches_at_depth(
                     depth, self.config.batch_size,
                     max_parent_uid=self.cache.n)
-                if self.cache.n < self.enumerator.count_uniques():
-                    trunc = self.enumerator.count_uniques() - self.cache.n
-                    print(f"  [hbm] parent window truncated: {trunc} of "
-                          f"{self.enumerator.count_uniques()} uniques "
-                          "exceed max_cache_rows and are not composed "
-                          "deeper on this chip (full coverage: uid-range "
-                          "sharded mesh path)", flush=True)
                 pending = None
 
                 def drain(pending):

@@ -87,6 +87,13 @@ class SearchConfig:
     # than the original run) bit-exact for small/medium runs.
     final_append_limit: int = 2_000_000
 
+    # Segmented superbatch dispatch (single-device Pallas): pack mixed-op
+    # tile-aligned segments into one kernel call with a per-tile op-id
+    # scalar-prefetch array — ceil(total/batch_size) dispatches per depth
+    # instead of one per (op, shape).  None = auto (on for the
+    # single-device Pallas path).
+    use_segmented: Optional[bool] = None
+
     # Persist reject rows to the audit DB (reference parity: every
     # expression gets a row).  At depth-6 scale (~10^9 candidates,
     # ~10^8-10^9 uniques) the reject audit alone is ~100 GB and hours of

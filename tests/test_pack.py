@@ -67,10 +67,9 @@ def test_compact_pack_roundtrip():
         fp_finite=jnp.asarray(rng.integers(0, 2, n).astype(bool)),
         fp_vals=jnp.asarray(fp_vals),
     )
-    maxp = 4
-    packed = np.asarray(pack_screen_result_compact(sr, maxp))
-    assert packed.dtype == np.uint32
-    cu = unpack_screen_result_compact(packed, n, 6, maxp)
+    packed = np.asarray(pack_screen_result_compact(sr))
+    assert packed.dtype == np.uint32 and packed.shape == (n, 3)
+    cu = unpack_screen_result_compact(packed, 6)
     out = cu.sr
     np.testing.assert_array_equal(out.fp_a, ADVERSARIAL)
     np.testing.assert_array_equal(out.fp_b, ADVERSARIAL[::-1])
@@ -82,11 +81,9 @@ def test_compact_pack_roundtrip():
     fin = np.isfinite(rel) & (rel > 0)
     assert (np.abs(out.rel_max[fin] - rel[fin]) / rel[fin] < 2**-8).all()
     np.testing.assert_array_equal(out.rel_max[~fin], rel[~fin])
-    # the first maxp passers' fp_vals ride the sidecar exactly
+    # passer indices recovered; fp_vals left for the caller's device
+    # gather (zeros here)
     assert cu.n_passers == int(screen_ok.sum())
-    pidx = np.nonzero(screen_ok)[0][:maxp]
-    np.testing.assert_array_equal(sorted(cu.passer_idx), sorted(pidx))
-    np.testing.assert_array_equal(out.fp_vals[pidx], fp_vals[pidx])
-    # non-sidecar rows are zeros
-    rest = np.setdiff1d(np.arange(n), pidx)
-    assert (out.fp_vals[rest] == 0).all()
+    np.testing.assert_array_equal(cu.passer_idx,
+                                  np.nonzero(screen_ok)[0])
+    assert (out.fp_vals == 0).all()

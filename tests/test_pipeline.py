@@ -165,3 +165,22 @@ def test_max_cache_rows_bounds_parent_window():
     d2_full = {r.expression for r in full.rows if r.depth == 2}
     d2_trunc = {r.expression for r in trunc.rows if r.depth == 2}
     assert d2_trunc == d2_full and len(d2_trunc) > 0
+
+
+def test_segmented_superbatch_matches_per_op():
+    """The segmented superbatch path (one mixed-op dispatch per
+    batch_size candidates, interpret-mode Pallas on CPU) must produce the
+    same uniques and verdicts as the per-op XLA path."""
+    p1 = load_problem("laplace")
+    ref = DiscoveryEngine(p1, SearchConfig(max_depth=3))
+    ref.run(3)
+    p2 = load_problem("laplace")
+    seg = DiscoveryEngine(p2, SearchConfig(max_depth=3,
+                                           use_segmented=True,
+                                           batch_size=4096))
+    seg.run(3)
+    assert [s.unique for s in ref.stats] == [s.unique for s in seg.stats]
+    assert [s.valid for s in ref.stats] == [s.valid for s in seg.stats]
+    v1 = sorted(r.expression for r in ref.valid_rows)
+    v2 = sorted(r.expression for r in seg.valid_rows)
+    assert v1 == v2
