@@ -32,8 +32,9 @@ def main():
     from pde_engine_tpu.enumerator import Enumerator
     from pde_engine_tpu.models import load_problem
     from pde_engine_tpu.ops.jets import n_coeffs
-    from pde_engine_tpu.parallel.incremental import JetCache, make_op_kernel
-    from pde_engine_tpu.parallel.pallas_engine import make_pallas_op_kernel
+    from pde_engine_tpu.parallel.incremental import JetCache, OP_INDEX
+    from pde_engine_tpu.parallel.pallas_engine import (
+        make_pallas_segmented_kernel)
     from pde_engine_tpu.parallel.search import unpack_screen_result_compact
     from pde_engine_tpu.utils.compile_cache import enable_compile_cache
 
@@ -56,15 +57,6 @@ def main():
                      initial_capacity=1 << 20,
                      grow_quantum=1 << 20)
 
-    def op_kernel(name):
-        mk = make_pallas_op_kernel if use_pallas else make_op_kernel
-        return mk(
-            name, order=problem.residual_order,
-            residual_key=problem.get_residual_key(),
-            screen_rtol=float(problem.screen_rtol),
-            n_screen=len(problem.screen_points),
-            n_fp=len(problem.fingerprint_points), compact=True)
-
     # ---- seed: depth 1 via the NumPy oracle ----
     from pde_engine_tpu.ops.interpreter import eval_jets_np_many
     prims = enum.primitive_candidates()
@@ -80,75 +72,128 @@ def main():
     cache.append(jnp.asarray(jets.reshape(len(prims), -1).astype(np.float32)),
                  jnp.asarray(fj.reshape(len(prims), -1).astype(np.float32)))
 
-    # ---- seed: depths 2..seed_depth via the incremental path + dedup ----
+    # ---- seed: depths 2..seed_depth via the segmented kernel + dedup ----
+    TILE = 512
+    SEED_SUPER = 16384  # one small fixed shape for the seeding depths
+    seg_seed = make_pallas_segmented_kernel(
+        order=problem.residual_order,
+        residual_key=problem.get_residual_key(),
+        screen_rtol=float(problem.screen_rtol),
+        n_screen=len(problem.screen_points),
+        n_fp=len(problem.fingerprint_points),
+        interpret=not use_pallas, compact=True)
+
     seen = set()
     for depth in range(2, seed_depth + 1):
-        for op_name, batch in enum.op_batches_at_depth(depth, batch_size):
-            npad = ((len(batch) + 511) // 512) * 512  # Pallas tile multiple
-            n = len(batch)
-            ab = np.zeros((npad, 2), np.int32)
-            ab[:n, 0] = np.fromiter((c.a.uid for c in batch), np.int32, n)
-            ab[:n, 1] = np.fromiter(
-                (c.b.uid if c.b is not None else 0 for c in batch),
-                np.int32, n)
-            packed, out_s, out_f = op_kernel(op_name)(
-                cache.screen, cache.fp, jnp.asarray(ab), spoints, fpoints)
+        pend: list = []  # (batch_slice, start)
+        ab = np.zeros((SEED_SUPER, 2), np.int32)
+        ops = np.zeros(SEED_SUPER // TILE, np.int32)
+        fill = 0
+
+        def flush_seed(ab, ops, pend):
+            packed, out_s, out_f = seg_seed(
+                cache.screen, cache.fp, jnp.asarray(ab), jnp.asarray(ops),
+                spoints, fpoints)
             cu = unpack_screen_result_compact(
                 np.asarray(packed), len(problem.fingerprint_points))
             fpa, fpb = cu.sr.fp_a, cu.sr.fp_b
             keep = []
-            for j, c in enumerate(batch):
-                key = (int(fpa[j]), int(fpb[j]))
-                if key in seen:
-                    continue
-                seen.add(key)
-                enum.add_unique(c)
-                keep.append(j)
+            for batch, start in pend:
+                for j, c in enumerate(batch):
+                    g = start + j
+                    key = (int(fpa[g]), int(fpb[g]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    enum.add_unique(c)
+                    keep.append(g)
             idx = jnp.asarray(np.asarray(keep, np.int32))
             cache.append(out_s[idx], out_f[idx])
+
+        for op_name, batch in enum.op_batches_at_depth(depth, SEED_SUPER):
+            need = -(-len(batch) // TILE)
+            if fill + need > SEED_SUPER // TILE:
+                flush_seed(ab, ops, pend)
+                ab = np.zeros((SEED_SUPER, 2), np.int32)
+                ops = np.zeros(SEED_SUPER // TILE, np.int32)
+                pend = []
+                fill = 0
+            start = fill * TILE
+            n = len(batch)
+            ab[start:start + n, 0] = np.fromiter(
+                (c.a.uid for c in batch), np.int32, n)
+            ab[start:start + n, 1] = np.fromiter(
+                (c.b.uid if c.b is not None else 0 for c in batch),
+                np.int32, n)
+            ops[fill:fill + need] = OP_INDEX[op_name]
+            pend.append((batch, start))
+            fill += need
+        if pend:
+            flush_seed(ab, ops, pend)
 
     n_uniques = enum.count_uniques()
 
     # ---- timed: the full depth-(seed_depth+1) candidate stream ----
-    # collect homogeneous batches first (host enumeration excluded from the
-    # device timing; it runs concurrently with the device in production)
-    batches = []
+    # assembled into tile-aligned mixed-op superbatches, exactly like the
+    # production pipeline's segmented path (one dispatch per batch_size
+    # candidates; host enumeration excluded — it overlaps the device in
+    # production)
+    n_tiles = batch_size // TILE
+    seg_kernel = make_pallas_segmented_kernel(
+        order=problem.residual_order,
+        residual_key=problem.get_residual_key(),
+        screen_rtol=float(problem.screen_rtol),
+        n_screen=len(problem.screen_points),
+        n_fp=len(problem.fingerprint_points),
+        interpret=not use_pallas, compact=True)
+
+    supers = []
+    ab = np.zeros((batch_size, 2), np.int32)
+    ops = np.zeros(n_tiles, np.int32)
+    fill = 0
+    total = 0
     for op_name, batch in enum.op_batches_at_depth(seed_depth + 1,
                                                    batch_size):
-        n = len(batch)
-        # quantize to two shapes per op (see pipeline._eval_op_idx)
-        npad = 8192 if n <= 8192 else batch_size
-        ab = np.zeros((npad, 2), np.int32)
-        ab[:n, 0] = np.fromiter((c.a.uid for c in batch), np.int32, n)
-        ab[:n, 1] = np.fromiter(
-            (c.b.uid if c.b is not None else 0 for c in batch), np.int32, n)
-        batches.append((op_name, n, jnp.asarray(ab)))
+        arr = np.empty((len(batch), 2), np.int32)
+        arr[:, 0] = np.fromiter((c.a.uid for c in batch), np.int32,
+                                len(batch))
+        arr[:, 1] = np.fromiter(
+            (c.b.uid if c.b is not None else 0 for c in batch),
+            np.int32, len(batch))
+        pos = 0
+        while pos < len(batch):
+            room = n_tiles * TILE - fill * TILE
+            if room == 0:
+                supers.append((jnp.asarray(ab), jnp.asarray(ops)))
+                ab = np.zeros((batch_size, 2), np.int32)
+                ops = np.zeros(n_tiles, np.int32)
+                fill = 0
+                continue
+            take = min(len(batch) - pos, room)
+            start = fill * TILE
+            ab[start:start + take] = arr[pos:pos + take]
+            used = -(-take // TILE)
+            ops[fill:fill + used] = OP_INDEX[op_name]
+            fill += used
+            pos += take
+            total += take
+    if fill:
+        supers.append((jnp.asarray(ab), jnp.asarray(ops)))
 
-    # warm-up: compile every (op, shape) variant AND the fence concat
-    # outside the timing (identical dispatch sequence to the timed loop)
-    warm = []
-    for op_name, n, ab in batches:
-        packed, _, _ = op_kernel(op_name)(cache.screen, cache.fp, ab,
-                                          spoints, fpoints)
-        warm.append(packed)
-    _ = np.asarray(jnp.concatenate([p[:1, 0] for p in warm]))
-    del warm
+    # warm-up: compile/load the one executable + the fence concat
+    packed, _, _ = seg_kernel(cache.screen, cache.fp, *supers[0],
+                              spoints, fpoints)
+    _ = np.asarray(jnp.concatenate([packed[:1, 0]]))
 
-    # Timed: dispatch the whole depth's batches back-to-back (the
-    # production pipeline likewise keeps the device queue full and drains
-    # results one batch behind), fence ONCE with a device->host copy of
-    # every batch's verdicts.  Per-batch fencing would measure the axon
-    # tunnel's ~27 ms round-trip latency 23x, not the chip.
-    total = 0
+    # Timed: dispatch every superbatch back-to-back, fence ONCE with a
+    # device->host copy (per-batch fencing would measure the axon
+    # tunnel's round-trip latency, not the chip).
     t0 = time.perf_counter()
     inflight = []
-    for op_name, n, ab in batches:
-        packed, out_s, out_f = op_kernel(op_name)(
-            cache.screen, cache.fp, ab, spoints, fpoints)
+    for ab_d, ops_d in supers:
+        packed, out_s, out_f = seg_kernel(cache.screen, cache.fp, ab_d,
+                                          ops_d, spoints, fpoints)
         inflight.append(packed)
-        total += n
-    # single fence: one device-side concat depends on every batch, one
-    # device->host copy (per-batch np.asarray would pay the tunnel RTT 23x)
     fence = jnp.concatenate([p[:1, 0] for p in inflight])
     _ = np.asarray(fence)
     dt = time.perf_counter() - t0

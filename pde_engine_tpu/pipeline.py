@@ -1022,8 +1022,14 @@ class DiscoveryEngine:
         SUPER = max(TILE, (self.config.batch_size // TILE) * TILE)
         n_tiles = SUPER // TILE
         kernel = self._seg_kernel()
-        append_ok = (depth < max_depth
-                     or self.cache.n < self.config.final_append_limit)
+
+        def append_ok():
+            # re-evaluated per drain: a FINAL depth stops appending once
+            # the cache passes final_append_limit (the HBM ceiling saver;
+            # a stale once-per-depth value let a depth-5 run grow the
+            # cache toward 24M rows and OOM in _grow)
+            return (depth < max_depth
+                    or self.cache.n < self.config.final_append_limit)
 
         gen = self.enumerator.vector_batches_at_depth(
             depth, SUPER, max_parent_uid=self.cache.n)
@@ -1061,11 +1067,11 @@ class DiscoveryEngine:
                     *[f[start:start + n] for f in sr])
                 self._ingest_vec(
                     op_name, a_seg, b_seg, view, depth, st, on_row,
-                    out_s, out_f, append_cache=append_ok,
+                    out_s, out_f, append_cache=append_ok(),
                     on_rows=on_rows,
                     retain_strings=(depth < max_depth),
                     row_offset=start, defer_append_to=kept)
-            if kept and append_ok:
+            if kept and append_ok():
                 room = self.config.max_cache_rows - self.cache.n
                 if room > 0:
                     self._append_kept(out_s, out_f, kept[:room])
