@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mega-scale mode: screen/dedup/count rejects but "
                         "store only valid rows (a 10^9-candidate depth's "
                         "reject audit alone is ~100 GB)")
+    p.add_argument("--max-cache-rows", type=int, default=None,
+                   help="Device jet-cache HBM budget in rows (~550 B/row; "
+                        "uniques beyond it are screened and stored but "
+                        "not composed deeper on this chip)")
     p.add_argument("--omega", type=float, default=0.0,
                    help="Rigid field-line rotation rate (force_free only)")
     p.add_argument("--confirm-symbolic", action="store_true",
@@ -113,6 +117,8 @@ def main(argv=None) -> int:
         defer_heavy_checks=not args.heavy_checks,
         audit_rejects=not args.no_audit_rejects,
     )
+    if args.max_cache_rows is not None:
+        config.max_cache_rows = args.max_cache_rows
 
     mesh = None
     if args.multihost:
