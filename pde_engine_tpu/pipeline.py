@@ -1055,6 +1055,8 @@ class DiscoveryEngine:
 
         def drain(item):
             d_segs, packed, out_s, out_f = item
+            self.candidates_screened += sum(
+                s[2].size for s in d_segs)
             ti = time.perf_counter()
             sr = self._unpack_batch(packed, out_f)
             st.t_device += time.perf_counter() - ti
