@@ -197,6 +197,13 @@ void dm_set(void* h, uint64_t key, int64_t val) {
     ((DedupMap*)h)->set(key, val);
 }
 
+// Bulk exact-assignment (resume: key[i] -> val[i]); later duplicates win.
+void dm_set_batch(void* h, const uint64_t* keys, const int64_t* vals,
+                  int64_t n) {
+    DedupMap* m = (DedupMap*)h;
+    for (int64_t i = 0; i < n; ++i) m->set(keys[i], vals[i]);
+}
+
 // Export every (key, value) pair (for tests / diagnostics).
 void dm_items(void* h, uint64_t* out_keys, int64_t* out_vals) {
     DedupMap* m = (DedupMap*)h;
@@ -250,9 +257,9 @@ void* idb_open(const char* path, const char* table) {
              " validation_status, is_valid, validation_reason, "
              " validator_method, validator_math, validator_evidence, "
              " is_paper_solution, paper_solution_name, heavy_is_valid, "
-             " heavy_reason, validated_at) "
+             " heavy_reason, struct_op, struct_a, struct_b, validated_at) "
              "VALUES (?,?,?,?,?,'completed',0,?,'screen',?,?,0,"
-             "NULL,NULL,NULL, ?)",
+             "NULL,NULL,NULL, ?,?,?, ?)",
              table);
     if (sqlite3_prepare_v2(s->db, sql, -1, &s->stmt, nullptr) != SQLITE_OK) {
         snprintf(s->err, sizeof(s->err), "prepare failed: %s",
@@ -283,7 +290,8 @@ int64_t idb_emit_rejects(void* h, int64_t n, const int64_t* ids,
                          const float* rel, const uint8_t* screen_ok,
                          const uint8_t* nonfinite, const uint8_t* is_const,
                          const uint8_t* fp_finite, int32_t n_screen_points,
-                         const char* math_def) {
+                         const char* math_def, int32_t struct_op,
+                         const int32_t* struct_a, const int32_t* struct_b) {
     IngestDB* s = (IngestDB*)h;
     if (!s->stmt) return -1;
     char* emsg = nullptr;
@@ -360,7 +368,19 @@ int64_t idb_emit_rejects(void* h, int64_t n, const int64_t* ids,
         else
             sqlite3_bind_null(st, 7);
         sqlite3_bind_text(st, 8, evidence, ev_len, TEXT_STATIC);
-        sqlite3_bind_text(st, 9, now_buf, now_len, TEXT_STATIC);
+        if (struct_op >= 0) {
+            sqlite3_bind_int(st, 9, struct_op);
+            sqlite3_bind_int(st, 10, struct_a[i]);
+            if (struct_b && struct_b[i] >= 0)
+                sqlite3_bind_int(st, 11, struct_b[i]);
+            else
+                sqlite3_bind_null(st, 11);
+        } else {
+            sqlite3_bind_null(st, 9);
+            sqlite3_bind_null(st, 10);
+            sqlite3_bind_null(st, 11);
+        }
+        sqlite3_bind_text(st, 12, now_buf, now_len, TEXT_STATIC);
         if (sqlite3_step(st) != SQLITE_DONE) {
             snprintf(s->err, sizeof(s->err), "step failed at row %lld: %s",
                      (long long)i, sqlite3_errmsg(s->db));

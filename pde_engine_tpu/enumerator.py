@@ -338,6 +338,69 @@ class Enumerator:
             self._dropped_string_depths.add(depth)
         return uid0, exprs
 
+    def register_from_struct(self, op_ids: np.ndarray, a_u: np.ndarray,
+                             b_u: np.ndarray, depths: np.ndarray,
+                             exprs: List[str]) -> int:
+        """Array-speed resume registration: rebuild the SoA registry for
+        COMPOSED uniques (depth >= 2) directly from the DB's structural
+        triples, in uid order, without re-parsing a single expression.
+        Depth-1 rows must already be registered via :meth:`add_unique`
+        (they carry tapes).  ``op_ids`` use the ALL_SURFACE_OPS order —
+        the same table the forward path stores (u_op / struct_op).
+
+        Returns the first assigned uid."""
+        n = int(op_ids.size)
+        uid0 = self._next_uid
+        self._next_uid += n
+        while self._next_uid > self._cap:
+            self._grow_flags()
+        sl = slice(uid0, uid0 + n)
+        self.u_op[sl] = op_ids.astype(np.int16)
+        self.u_a[sl] = a_u
+        self.u_b[sl] = b_u
+        self.u_depth[sl] = depths.astype(np.int16)
+        for d in np.unique(depths).tolist():
+            uids = uid0 + np.nonzero(depths == d)[0].astype(np.int32)
+            self._append_uid_chunk(int(d), uids)
+
+        # flags, level by level (parents are strictly shallower, so each
+        # depth's flags depend only on already-assigned entries)
+        inv_id = self._op_ids.get("inv", -2)
+        addsub = {self._op_ids.get("add", -2), self._op_ids.get("sub", -2)}
+        for d in sorted(np.unique(depths).tolist()):
+            m = depths == d
+            uids = uid0 + np.nonzero(m)[0]
+            a = a_u[m]
+            b = b_u[m]
+            hv = self.f_has_var[a]
+            has_b = b >= 0
+            hv = hv | (has_b & self.f_has_var[np.where(has_b, b, 0)])
+            self.f_has_var[uids] = hv
+            self.f_is_one[uids] = False
+            self.f_top_inv[uids] = op_ids[m] == inv_id
+            coord = (np.isin(op_ids[m], list(addsub)) & has_b
+                     & self.f_is_coord[a]
+                     & self.f_is_coord[np.where(has_b, b, 0)]
+                     & (self.u_depth[a] == 1)
+                     & (self.u_depth[np.where(has_b, b, 0)] == 1)
+                     & (a != b))
+            self.f_is_coord[uids] = coord
+            if coord.any():
+                self._coordinate_uids.update(
+                    uids[np.nonzero(coord)[0]].tolist())
+
+        if self.arena is not None:
+            CHUNK = 1 << 20
+            for lo in range(0, n, CHUNK):
+                self.arena.add_raw(exprs[lo:lo + CHUNK])
+            self.expr_strs.extend([None] * n)
+            self.wrapped_strs.extend([None] * n)
+        else:
+            self.expr_strs.extend(exprs)
+            # composed spellings are self-wrapped (see add_uniques_bulk)
+            self.wrapped_strs.extend(exprs)
+        return uid0
+
     def _ensure_strings(self, below_depth: int):
         for d in sorted(self._dropped_string_depths):
             if d >= below_depth:

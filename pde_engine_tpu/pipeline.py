@@ -90,6 +90,11 @@ class Row:
     # expression, general:1330-1335, kerr validator.py:296-306)
     validator_math: str = ""
     validator_evidence: str = ""
+    # structural triple (nullable): op id + parent uids — resume rebuilds
+    # the registry from these at array speed instead of re-parsing
+    struct_op: Optional[int] = None
+    struct_a: Optional[int] = None
+    struct_b: Optional[int] = None
 
 
 @dataclass
@@ -705,10 +710,14 @@ class DiscoveryEngine:
                 reason_code = np.where(
                     is_const[locs], 0,
                     np.where(nonfin[locs], 1, 2)).astype(np.uint8)
+                enum = self.enumerator
                 self.native_sink.emit(
                     ids=(uid0 + 1 + self.id_offset) + locs.astype(np.int64),
                     exprs_blob=blob, sigs=keys[locs], depth=depth,
                     reason_code=reason_code, rel=sr.rel_max[sel],
+                    struct_op=int(enum.u_op[uid0]),
+                    struct_a=enum.u_a[uid0 + locs],
+                    struct_b=enum.u_b[uid0 + locs],
                     screen_ok=sr.screen_ok[sel], nonfinite=sr.nonfinite[sel],
                     is_const=sr.is_const[sel], fp_finite=sr.fp_finite[sel],
                     n_screen_points=len(self.problem.screen_points),
@@ -717,6 +726,10 @@ class DiscoveryEngine:
             return
         md = self._math_def
         nsp = len(self.problem.screen_points)
+        enum = self.enumerator
+        s_op = int(enum.u_op[uid0]) if len(is_const) else -1
+        s_a = enum.u_a[uid0:uid0 + len(is_const)].tolist()
+        s_b = enum.u_b[uid0:uid0 + len(is_const)].tolist()
         rel_l = sr.rel_max[new_idx].tolist()
         ok_l = sr.screen_ok[new_idx].tolist()
         raw_nf_l = sr.nonfinite[new_idx].tolist()
@@ -754,16 +767,24 @@ class DiscoveryEngine:
             e = exprs[local]
             sig = "%016x" % keys_l[local]
             n_emitted += 1
+            sa = s_a[local]
+            sb = s_b[local]
             if as_tuples:
                 # column order must match RunDB.flush's INSERT
                 ap((id0 + local, e, e, sig, depth, "completed", 0,
-                    reason, "screen", md, ev, 0, None, None, None))
+                    reason, "screen", md, ev, 0, None, None, None,
+                    None if s_op < 0 else s_op,
+                    None if sa < 0 else sa,
+                    None if sb < 0 else sb))
             else:
                 row = Row(
                     id=id0 + local, expression=e, normalized=e,
                     signature=sig, depth=depth, is_valid=False,
                     validation_reason=reason, validator_method="screen",
-                    validator_math=md, validator_evidence=ev)
+                    validator_math=md, validator_evidence=ev,
+                    struct_op=None if s_op < 0 else s_op,
+                    struct_a=None if sa < 0 else sa,
+                    struct_b=None if sb < 0 else sb)
                 if self._keep_rows:
                     self.rows.append(row)
                 if on_row is not None:
@@ -955,6 +976,10 @@ class DiscoveryEngine:
                 len(self.problem.screen_points), method,
                 "" if rel64 is None
                 else ', "rel_f64": %s' % self._fmt_rel(rel64)))
+        uid = cand.uid
+        s_op = int(self.enumerator.u_op[uid])
+        s_a = int(self.enumerator.u_a[uid])
+        s_b = int(self.enumerator.u_b[uid])
         row = Row(
             # row id == uid + 1 (stable across fresh/resumed runs — resume
             # reloads uniques in id order and must reproduce the same uids)
@@ -970,6 +995,9 @@ class DiscoveryEngine:
             paper_solution_name=known,
             validator_math=self._math_def,
             validator_evidence=evidence,
+            struct_op=None if s_op < 0 else s_op,
+            struct_a=None if s_a < 0 else s_a,
+            struct_b=None if s_b < 0 else s_b,
         )
         self.n_rows += 1
         self.last_expr = cand.expr_str

@@ -286,7 +286,15 @@ class DiscoveryRun:
         import re
         var_pat = re.compile(
             "|".join(rf"\b{re.escape(v)}\b" for v in self.problem.var_names))
-        for r in rows:
+        fast_k = self._struct_resume_prefix(rows)
+        if fast_k:
+            # ARRAY-SPEED path: rows carry the structural triple
+            # (struct_op/a/b) and consecutive ids — rebuild the registry
+            # without re-parsing (~200 µs/row of SymPy at mega-run scale)
+            self._log(f"resume: structural fast path for "
+                      f"{len(rows) - fast_k} composed rows")
+        slow_rows = rows if not fast_k else rows[:fast_k]
+        for r in slow_rows:
             try:
                 tape = self.problem.parse(r["expression"])
             except Exception:
@@ -314,10 +322,68 @@ class DiscoveryRun:
             eng.n_rows += 1
             eng.id_offset = max(eng.id_offset,
                                 int(r["id"]) - eng.enumerator.count_uniques())
+        if fast_k and eng.enumerator.count_uniques() != fast_k:
+            # a depth-1 row failed to re-parse: uids no longer equal
+            # id-1, the structural triples don't line up — re-fetch and
+            # take the legacy path for the remainder
+            self._log("resume: depth-1 prefix incomplete; "
+                      "parse path for composed rows")
+            slow_rows = rows[fast_k:]
+            fast_k = 0
+            for r in slow_rows:
+                try:
+                    tape = self.problem.parse(r["expression"])
+                except Exception:
+                    continue
+                depth_r = int(r["depth"])
+                cand = Candidate(
+                    tape=tape, depth=depth_r,
+                    expr_str=r["expression"],
+                    top_op=_top_op_of(r["expression"]),
+                    has_var=bool(var_pat.search(r["expression"])),
+                    is_one=False,
+                    consts=self.problem.consts)
+                u = eng.enumerator.add_unique(cand)
+                sig = r["signature"]
+                try:
+                    fp = int(sig, 16)
+                except (TypeError, ValueError):
+                    from .utils.hashing import struct_key_for_expr
+                    fp = struct_key_for_expr(r["expression"])
+                eng.fp_to_uid[fp] = u.uid
+                eng.n_rows += 1
+                eng.id_offset = max(
+                    eng.id_offset,
+                    int(r["id"]) - eng.enumerator.count_uniques())
+        if fast_k:
+            comp = rows[fast_k:]
+            m = len(comp)
+            op_ids = np.fromiter((r["struct_op"] for r in comp),
+                                 np.int16, m)
+            a_u = np.fromiter((r["struct_a"] for r in comp), np.int32, m)
+            b_u = np.fromiter(
+                (-1 if r["struct_b"] is None else r["struct_b"]
+                 for r in comp), np.int32, m)
+            depths = np.fromiter((r["depth"] for r in comp), np.int16, m)
+            exprs = [r["expression"] for r in comp]
+            eng.enumerator.register_from_struct(op_ids, a_u, b_u, depths,
+                                                exprs)
+            keys = np.empty(m, np.uint64)
+            from .utils.hashing import struct_key_for_expr
+            for i, r in enumerate(comp):
+                try:
+                    keys[i] = int(r["signature"], 16)
+                except (TypeError, ValueError):
+                    keys[i] = struct_key_for_expr(r["expression"])
+            eng.fp_to_uid.set_batch(
+                keys, np.arange(fast_k, fast_k + m, dtype=np.int64))
+            eng.n_rows += m
+        for r in rows:
             if bool(r["is_valid"]):
                 eng.valid_rows.append(Row(
                     id=int(r["id"]), expression=r["expression"],
-                    normalized=r["normalized"], signature=sig or "",
+                    normalized=r["normalized"],
+                    signature=r["signature"] or "",
                     depth=int(r["depth"]), is_valid=True,
                     validation_reason=r["validation_reason"] or "",
                     validator_method=r["validator_method"] or "",
@@ -336,6 +402,42 @@ class DiscoveryRun:
                   + (f", jet snapshot x{snap['n']}" if snap else
                      ", no jet snapshot (float64 re-derivation)"))
         return self
+
+    @staticmethod
+    def _struct_resume_prefix(rows) -> int:
+        """Validate the array-speed resume preconditions; returns the
+        depth-1 prefix length k (> 0) when every row qualifies, else 0.
+
+        Requirements: consecutive ids 1..n; all depth-1 rows form the id
+        prefix; every deeper row carries an in-range structural triple
+        (struct_op/a/b, written by this round's schema — older DBs hold
+        NULLs and take the parse path)."""
+        n = len(rows)
+        if n == 0:
+            return 0
+        k = 0
+        try:
+            for i, r in enumerate(rows):
+                if int(r["id"]) != i + 1:
+                    return 0
+                d = int(r["depth"])
+                if d == 1:
+                    if i != k:          # depth-1 row after a deeper one
+                        return 0
+                    k += 1
+                else:
+                    op = r["struct_op"]
+                    a = r["struct_a"]
+                    if op is None or a is None:
+                        return 0
+                    if not (0 <= int(a) < i):
+                        return 0
+                    b = r["struct_b"]
+                    if b is not None and not (0 <= int(b) < i):
+                        return 0
+        except (KeyError, IndexError, TypeError):
+            return 0
+        return k if 0 < k < n else 0
 
     def continue_run(self, max_depth: Optional[int] = None) -> Dict:
         start = getattr(self, "_resume_start_depth", 1)

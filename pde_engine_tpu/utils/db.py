@@ -91,8 +91,23 @@ class RunDB:
                 validated_at DATETIME,
                 heavy_is_valid INTEGER,
                 heavy_reason TEXT,
-                heavy_validated_at DATETIME
+                heavy_validated_at DATETIME,
+                struct_op INTEGER,
+                struct_a INTEGER,
+                struct_b INTEGER
             )""")
+        # nullable structural triple (op id, parent uids) — lets resume
+        # rebuild the registry at array speed instead of re-parsing every
+        # expression with SymPy (~200 µs/row — 80 min at 24M rows).
+        # Column-add migration for DBs created before the columns existed,
+        # the same mechanism the reference used for heavy_* (general:
+        # 2036-2044).
+        have = {r[1] for r in c.execute(
+            f"PRAGMA table_info({self.table})")}
+        for col in ("struct_op", "struct_a", "struct_b"):
+            if col not in have:
+                c.execute(f"ALTER TABLE {self.table} "
+                          f"ADD COLUMN {col} INTEGER")
         c.execute("""
             CREATE TABLE IF NOT EXISTS run_metadata (
                 run_id TEXT PRIMARY KEY,
@@ -148,6 +163,9 @@ class RunDB:
             int(row.is_paper_solution), row.paper_solution_name,
             None if row.heavy_is_valid is None else int(row.heavy_is_valid),
             row.heavy_reason,
+            getattr(row, "struct_op", None),
+            getattr(row, "struct_a", None),
+            getattr(row, "struct_b", None),
         ))
         if len(self._pending_rows) >= 2000:
             self.flush()
@@ -193,8 +211,9 @@ class RunDB:
             " validation_status, is_valid, validation_reason, "
             " validator_method, validator_math, validator_evidence, "
             " is_paper_solution, paper_solution_name, heavy_is_valid, "
-            " heavy_reason, validated_at) "
-            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?, datetime('now'))",
+            " heavy_reason, struct_op, struct_a, struct_b, validated_at) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?, "
+            "datetime('now'))",
             self._pending_rows)
         self._pending_rows = []
         self.conn.commit()

@@ -116,19 +116,20 @@ def _declare(lib: ct.CDLL):
     lib.dm_get.argtypes = [ct.c_void_p, ct.c_uint64]
     lib.dm_set.argtypes = [ct.c_void_p, ct.c_uint64, ct.c_int64]
     lib.dm_items.argtypes = [ct.c_void_p, u64p, i64p]
+    lib.dm_set_batch.argtypes = [ct.c_void_p, u64p, i64p, ct.c_int64]
     lib.idb_open.restype = ct.c_void_p
     lib.idb_open.argtypes = [ct.c_char_p, ct.c_char_p]
     lib.idb_error.restype = ct.c_char_p
     lib.idb_error.argtypes = [ct.c_void_p]
     lib.idb_close.argtypes = [ct.c_void_p]
+    i32p = ct.POINTER(ct.c_int32)
     lib.idb_emit_rejects.restype = ct.c_int64
     lib.idb_emit_rejects.argtypes = [
         ct.c_void_p, ct.c_int64, i64p, ct.c_char_p, u64p, ct.c_int32,
         ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_float),
         ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint8),
         ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint8),
-        ct.c_int32, ct.c_char_p]
-    i32p = ct.POINTER(ct.c_int32)
+        ct.c_int32, ct.c_char_p, ct.c_int32, i32p, i32p]
     lib.ea_new.restype = ct.c_void_p
     lib.ea_new.argtypes = []
     lib.ea_free.argtypes = [ct.c_void_p]
@@ -224,6 +225,17 @@ class DedupMap:
             self._d[key] = val
         else:
             self._core.dm_set(self._h, ct.c_uint64(key), ct.c_int64(val))
+
+    def set_batch(self, keys: np.ndarray, vals: np.ndarray) -> None:
+        """Bulk exact assignment (resume rebuilds key -> uid)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        vals = np.ascontiguousarray(vals, dtype=np.int64)
+        if self._d is not None:
+            self._d.update(zip(keys.tolist(), vals.tolist()))
+        else:
+            self._core.dm_set_batch(self._h, _as_ptr(keys, ct.c_uint64),
+                                    _as_ptr(vals, ct.c_int64),
+                                    ct.c_int64(keys.size))
 
     def __getitem__(self, key: int) -> int:
         if self._d is not None:
@@ -424,7 +436,10 @@ class NativeRejectSink:
              depth: int, reason_code: np.ndarray, rel: np.ndarray,
              screen_ok: np.ndarray, nonfinite: np.ndarray,
              is_const: np.ndarray, fp_finite: np.ndarray,
-             n_screen_points: int, math_def: bytes) -> int:
+             n_screen_points: int, math_def: bytes,
+             struct_op: int = -1,
+             struct_a: Optional[np.ndarray] = None,
+             struct_b: Optional[np.ndarray] = None) -> int:
         """Queue one batch for the writer thread.  The arrays are copied
         to owned contiguous buffers here (callers may reuse/slice)."""
         if self._err is not None:
@@ -433,18 +448,22 @@ class NativeRejectSink:
         if n == 0:
             return 0
         b8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)  # noqa: E731
+        i32 = lambda a: (None if a is None else  # noqa: E731
+                         np.ascontiguousarray(a, dtype=np.int32).copy())
         self._q.put((
             np.ascontiguousarray(ids, dtype=np.int64).copy(), exprs_blob,
             np.ascontiguousarray(sigs, dtype=np.uint64).copy(), depth,
             np.ascontiguousarray(reason_code, dtype=np.uint8).copy(),
             np.ascontiguousarray(rel, dtype=np.float32).copy(),
             b8(screen_ok).copy(), b8(nonfinite).copy(), b8(is_const).copy(),
-            b8(fp_finite).copy(), n_screen_points, math_def))
+            b8(fp_finite).copy(), n_screen_points, math_def,
+            struct_op, i32(struct_a), i32(struct_b)))
         return n
 
     def _emit_now(self, ids, exprs_blob, sigs, depth, reason_code, rel,
                   screen_ok, nonfinite, is_const, fp_finite,
-                  n_screen_points, math_def) -> int:
+                  n_screen_points, math_def, struct_op, struct_a,
+                  struct_b) -> int:
         n = ids.size
         r = self._core.idb_emit_rejects(
             self._h, ct.c_int64(n), _as_ptr(ids, ct.c_int64), exprs_blob,
@@ -454,7 +473,12 @@ class NativeRejectSink:
             _as_ptr(nonfinite, ct.c_uint8),
             _as_ptr(is_const, ct.c_uint8),
             _as_ptr(fp_finite, ct.c_uint8),
-            ct.c_int32(n_screen_points), math_def)
+            ct.c_int32(n_screen_points), math_def,
+            ct.c_int32(struct_op if struct_a is not None else -1),
+            _as_ptr(struct_a, ct.c_int32) if struct_a is not None
+            else None,
+            _as_ptr(struct_b, ct.c_int32) if struct_b is not None
+            else None)
         if r < 0:
             raise RuntimeError(
                 "native emit failed: "

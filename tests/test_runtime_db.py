@@ -266,3 +266,59 @@ def test_no_audit_rejects_mode(tmp_path):
     assert post["total_generated"] == ref["total_generated"]
     run.close()
     full.close()
+
+
+def test_struct_fast_resume_equals_parse_resume(tmp_path):
+    """The array-speed resume (structural triples, no re-parsing) must
+    rebuild EXACTLY the registry the SymPy parse path builds: same uids,
+    same flags, same strings, same fp->uid map, and the continued run
+    must produce identical rows."""
+    import numpy as np
+
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    base = DiscoveryRun("force_free",
+                        config=SearchConfig(max_depth=3),
+                        db_path=str(tmp_path / "a.db"), verbose=False)
+    base.run(3)
+    rid = base.run_id
+    eb = base.engine.enumerator  # ground truth: the forward-path registry
+
+    fast = DiscoveryRun.resume("force_free", rid,
+                               config=SearchConfig(max_depth=3),
+                               db_path=str(tmp_path / "a.db"),
+                               verbose=False)
+    # the fast path must actually have engaged (new-schema DB,
+    # consecutive ids)
+    rows = fast.db.rows()
+    assert fast._struct_resume_prefix(rows) > 0
+
+    # the rebuilt registry must EQUAL the forward-path one, uid for uid
+    # (the legacy parse path loses rows whose sympy re-parse fails — the
+    # structural path has no parser, so nothing to lose)
+    ef = fast.engine.enumerator
+    n = eb.count_uniques()
+    assert ef.count_uniques() == n
+    np.testing.assert_array_equal(ef.u_op[:n], eb.u_op[:n])
+    np.testing.assert_array_equal(ef.u_a[:n], eb.u_a[:n])
+    np.testing.assert_array_equal(ef.u_b[:n], eb.u_b[:n])
+    np.testing.assert_array_equal(ef.f_has_var[:n], eb.f_has_var[:n])
+    np.testing.assert_array_equal(ef.f_top_inv[:n], eb.f_top_inv[:n])
+    np.testing.assert_array_equal(ef.f_is_coord[:n], eb.f_is_coord[:n])
+    assert ef._coordinate_uids == eb._coordinate_uids
+    assert [ef.expr_str_of(u) for u in range(n)] == \
+           [eb.expr_str_of(u) for u in range(n)]
+    # every forward-path dedup key maps to the same uid
+    for k, v in base.engine.fp_to_uid.items():
+        assert fast.engine.fp_to_uid.get(int(k)) == int(v)
+    base.close()
+
+    # the continued run keeps finding the knowns and assigns fresh ids
+    # beyond the stored range
+    rep = fast.continue_run(4)
+    assert len(rep["paper_solutions_found"]) == 7
+    d4 = fast.db.rows("depth = 4")
+    assert len(d4) > 0
+    assert min(int(r["id"]) for r in d4) > n
+    fast.close()
