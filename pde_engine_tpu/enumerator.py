@@ -205,7 +205,14 @@ class Enumerator:
             # keep the arena uid-aligned (composition reads parents there)
             self.arena.add_raw([cand.expr_str])
             if u.wrapped != cand.expr_str:
-                self.arena.set_wrapped(uid, u.wrapped)
+                try:
+                    self.arena.set_wrapped(uid, u.wrapped)
+                except RuntimeError:
+                    # C wrap-override table full (32 slots;
+                    # csrc ingest_core.cpp) — a problem with >32 composite
+                    # primitives.  Fall back to the Python string path
+                    # instead of crashing registration (ADVICE.md round 2).
+                    self._drop_arena()
         self._append_uid_chunk(cand.depth,
                                np.array([uid], dtype=np.int32))
         self.f_has_var[uid] = u.has_var
@@ -400,6 +407,17 @@ class Enumerator:
             # composed spellings are self-wrapped (see add_uniques_bulk)
             self.wrapped_strs.extend(exprs)
         return uid0
+
+    def _drop_arena(self):
+        """Abandon the native string arena: materialize every arena-backed
+        string into the Python lists, then continue on the Python path."""
+        arena = self.arena
+        self.arena = None
+        for uid in range(self._next_uid):
+            if self.expr_strs[uid] is None and uid < len(arena):
+                s = arena.get(uid)
+                self.expr_strs[uid] = s
+                self.wrapped_strs[uid] = wrap_operand(s)
 
     def _ensure_strings(self, below_depth: int):
         for d in sorted(self._dropped_string_depths):

@@ -2,7 +2,7 @@
 
 The VPU wants candidates on the 128-wide lane axis and (point,
 coefficient) on sublanes — measured 4.2× over XLA's candidate-major
-layout for the order-4 jet product (ops/pallas_kernels.py).  Rather than
+layout for the order-4 jet product (PERF.md "lane-major layout").  Rather than
 rewriting the jet algebra and the PDE residual operators for that layout,
 this module provides a *shim*: a jet is a :class:`LJ` ("lane jet") holding
 one ``[P, tile]`` array per Taylor coefficient, and :class:`LanesNS` is an

@@ -97,7 +97,7 @@ def make_op_kernel_multihost(mesh, op_name: str, order: int,
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from .incremental import OP_INDEX, make_universal_kernel_raw
@@ -126,5 +126,5 @@ def make_op_kernel_multihost(mesh, op_name: str, order: int,
         step, mesh=mesh,
         in_specs=(P(), P(), P(CANDIDATE_AXIS), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

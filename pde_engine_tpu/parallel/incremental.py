@@ -225,7 +225,7 @@ def _make_universal_kernel_sharded(mesh, order: int, residual_key: str,
     sharded (the host unpacks per-shard verdicts), only the scalar
     survivor count crosses chips.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from .mesh import CANDIDATE_AXIS
@@ -246,7 +246,7 @@ def _make_universal_kernel_sharded(mesh, order: int, residual_key: str,
         in_specs=(P(), P(), P(CANDIDATE_AXIS), P(), P(), P()),
         out_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
                    P(CANDIDATE_AXIS), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 
@@ -284,7 +284,7 @@ def _make_universal_kernel_uidrange(mesh, order: int, residual_key: str,
     process's memory (general:801-823).  This is the TPU-native answer to
     SURVEY §7's "hard parts: 10^8-unique jet cache".
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from .mesh import CANDIDATE_AXIS
@@ -333,7 +333,7 @@ def _make_universal_kernel_uidrange(mesh, order: int, residual_key: str,
                   P()),
         out_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
                    P(CANDIDATE_AXIS), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 
@@ -356,8 +356,22 @@ def make_op_kernel_uidrange(mesh, op_name: str, order: int,
     uni = _make_universal_kernel_uidrange(mesh, order, residual_key,
                                           screen_rtol, n_screen, n_fp)
     op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
+    ndev = mesh.devices.size
 
     def call(cache_screen, cache_fp, ab_idx, spoints, fpoints):
+        # host-side divisibility guard (ADVICE.md round 2): a batch or
+        # cache whose row count is not a multiple of the mesh size would
+        # silently screen only shard_rows*ndev candidates
+        n = int(ab_idx.shape[0])
+        c = int(cache_screen.shape[0])
+        if n % ndev:
+            raise ValueError(
+                f"uid-range batch rows {n} not divisible by mesh size "
+                f"{ndev}; pad the batch (parallel.mesh.pad_to_multiple)")
+        if c % ndev:
+            raise ValueError(
+                f"uid-range cache rows {c} not divisible by mesh size "
+                f"{ndev}")
         return uni(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints)
 
     return call

@@ -5,7 +5,7 @@ plus the PDE residual, both pure jet algebra: hundreds of statically
 unrolled FMAs over Taylor coefficients.  XLA lays candidates on the last
 axis of [N, P, T] arrays (coefficients on lanes), which wastes most of
 each 8×128 vreg; the measured-4.2× layout keeps CANDIDATES on the 128-wide
-lane axis and (coefficient, point) on sublanes (ops/pallas_kernels.py).
+lane axis and (coefficient, point) on sublanes (PERF.md "lane-major layout").
 
 This module runs the engine's existing jet/residual code inside a Pallas
 TPU kernel in that layout via the LJ shim (ops/lanes.py):

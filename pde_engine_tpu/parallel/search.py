@@ -244,7 +244,12 @@ def pack_screen_result_compact(sr: ScreenResult):
              | (sr.fp_finite.astype(u32) << 3))
     rel_bits = jax.lax.bitcast_convert_type(
         sr.rel_max.astype(jnp.float32), u32)
-    col2 = (rel_bits & u32(0xFFFF0000)) | flags
+    # round the bf16 truncation UP (+0xFFFF before masking): rel_max is
+    # compared against f64_skip_below downstream, and rounding down could
+    # let a candidate just above the threshold skip the float64 recheck
+    # (ADVICE.md round 2).  Positive-float bit patterns are monotone, and
+    # inf/NaN payloads survive the mask unchanged.
+    col2 = ((rel_bits + u32(0xFFFF)) & u32(0xFFFF0000)) | flags
     return jnp.stack([sr.fp_a, sr.fp_b, col2], axis=1)
 
 

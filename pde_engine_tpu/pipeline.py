@@ -59,10 +59,16 @@ _CONST64_RTOL = 1e-12
 
 
 def _const_in_f64_batch(jets: np.ndarray) -> np.ndarray:
-    """Per-candidate constant flag for [N, P, T] float64 jets."""
+    """Per-candidate constant flag for [N, P, T] float64 jets.
+
+    Fully relative (grad vs value magnitude, no absolute floor): an
+    expression whose value AND gradient are both uniformly tiny — extreme
+    steep-decay forms like rho**2*exp(-100*z) — must be judged on its
+    residual, not classified constant by an absolute 1e-12 cutoff
+    (ADVICE.md round 2).  The all-zero case falls out: grad 0 <= 0."""
     grad = np.abs(jets[..., 1:3]).max(axis=(-1, -2))
     mag = np.abs(jets[..., 0]).max(axis=-1)
-    return grad <= _CONST64_RTOL * np.maximum(mag, 1.0)
+    return grad <= _CONST64_RTOL * mag
 
 
 def _const_in_f64(jets: np.ndarray) -> bool:
