@@ -347,7 +347,7 @@ class Enumerator:
 
     def register_from_struct(self, op_ids: np.ndarray, a_u: np.ndarray,
                              b_u: np.ndarray, depths: np.ndarray,
-                             exprs: List[str]) -> int:
+                             exprs: Optional[List[str]]) -> int:
         """Array-speed resume registration: rebuild the SoA registry for
         COMPOSED uniques (depth >= 2) directly from the DB's structural
         triples, in uid order, without re-parsing a single expression.
@@ -396,7 +396,13 @@ class Enumerator:
                 self._coordinate_uids.update(
                     uids[np.nonzero(coord)[0]].tolist())
 
-        if self.arena is not None:
+        if exprs is None:
+            # caller composes the strings itself (see
+            # register_from_struct_compose); Python lists get placeholders,
+            # the arena is left untouched for the caller's appends
+            self.expr_strs.extend([None] * n)
+            self.wrapped_strs.extend([None] * n)
+        elif self.arena is not None:
             CHUNK = 1 << 20
             for lo in range(0, n, CHUNK):
                 self.arena.add_raw(exprs[lo:lo + CHUNK])
@@ -406,6 +412,76 @@ class Enumerator:
             self.expr_strs.extend(exprs)
             # composed spellings are self-wrapped (see add_uniques_bulk)
             self.wrapped_strs.extend(exprs)
+        return uid0
+
+    def register_from_struct_compose(self, op_ids: np.ndarray,
+                                     a_u: np.ndarray, b_u: np.ndarray,
+                                     depths: np.ndarray) -> int:
+        """Array-speed resume registration WITHOUT stored expression
+        strings: rebuild the SoA registry from structural triples (as
+        :meth:`register_from_struct`) and REGENERATE every display string
+        by re-running the forward composition (parent wrapped forms +
+        per-op format), level by level in uid order.
+
+        This is the resume path for the registry sidecar
+        (runtime.DiscoveryRun._save_registry_sidecar): mega-runs with
+        ``audit_rejects=False`` persist no reject rows, so the strings
+        are not in the DB — but composition is deterministic, so
+        rebuilding from structure reproduces them byte-for-byte (asserted
+        in tests/test_runtime_db.py).  Composition is batched over
+        consecutive same-op uid runs (the forward path registers per-op
+        segments, so runs are long).
+
+        Returns the first assigned uid."""
+        n = int(op_ids.size)
+        if n == 0:
+            return self._next_uid
+        uid0 = self.register_from_struct(op_ids, a_u, b_u, depths,
+                                         exprs=None)
+        # run-length segments of consecutive equal op ids
+        bounds = np.flatnonzero(np.diff(op_ids)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            name = self._op_names[int(op_ids[lo])]
+            seg_a = a_u[lo:hi]
+            seg_b = b_u[lo:hi]
+            unary = bool(seg_b[0] < 0)
+            if self.arena is not None:
+                if unary:
+                    self.arena.add_bulk(name + "(", None, ")", seg_a, None)
+                else:
+                    fmt = ot.SURFACE_FORMAT.get(name)
+                    if fmt:
+                        p1, rest = fmt.split("{a}")
+                        mid, p2 = rest.split("{b}")
+                        self.arena.add_bulk(p1, mid, p2, seg_a, seg_b,
+                                            use_wrapped=True)
+                    else:
+                        self.arena.add_bulk(name + "(", ", ", ")",
+                                            seg_a, seg_b)
+                continue
+            es = self.expr_strs
+            ws = self.wrapped_strs
+            if unary:
+                pre = name + "("
+                exprs = [pre + es[i] + ")" for i in seg_a.tolist()]
+            else:
+                fmt = ot.SURFACE_FORMAT.get(name)
+                if fmt:
+                    p1, rest = fmt.split("{a}")
+                    mid, p2 = rest.split("{b}")
+                    exprs = [p1 + ws[i] + mid + ws[j] + p2
+                             for i, j in zip(seg_a.tolist(),
+                                             seg_b.tolist())]
+                else:
+                    pre = name + "("
+                    exprs = [pre + es[i] + ", " + es[j] + ")"
+                             for i, j in zip(seg_a.tolist(),
+                                             seg_b.tolist())]
+            for k, s in enumerate(exprs):
+                es[uid0 + lo + k] = s
+                ws[uid0 + lo + k] = s  # composed spellings self-wrap
         return uid0
 
     def _drop_arena(self):

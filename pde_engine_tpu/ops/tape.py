@@ -235,12 +235,19 @@ def from_sympy(expr, consts: ConstTable, var_syms,
             return emit(ot.POW, base_reg, table[e])
         if e == 1:
             return base_reg
-        # Decompose: integer part via repeated squaring/products, half via sqrt
-        if e.denominator == 2:
-            half = emit(ot.POW, base_reg, ot.POW_SQRT)
-            return compile_pow_int_times(half, e.numerator)
-        if e.denominator == 1:
-            return compile_pow_int_times(base_reg, e.numerator)
+        # Decompose: power-of-two denominator via repeated sqrt, then the
+        # integer numerator via binary exponentiation.  Covers x**(1/4)
+        # and deeper sqrt nests — valid rows like sqrt(sqrt(z)) sympy-
+        # normalize to z**(1/4), and the certifier must be able to
+        # re-compile every stored row (VERDICT round 2: 3 'open' depth-4
+        # certificates were exactly this re-parse failure).
+        d = e.denominator
+        if d & (d - 1) == 0:
+            reg = base_reg
+            while d > 1:
+                reg = emit(ot.POW, reg, ot.POW_SQRT)
+                d //= 2
+            return compile_pow_int_times(reg, e.numerator)
         raise ValueError(f"unsupported exponent {e}")
 
     def compile_pow_int_times(reg: int, n: int) -> int:
@@ -314,6 +321,13 @@ def from_sympy(expr, consts: ConstTable, var_syms,
             return emit(ot.EXP, rec(e.args[0]))
         if e.func is sp.log:
             return emit(ot.LOG, rec(e.args[0]))
+        if e.func is sp.Abs:
+            # Abs(x) compiles as sqrt(x^2) — the spelling sqrt(square(z))
+            # sympy-normalizes to Abs(z) for real-but-not-positive vars,
+            # and stored rows must re-compile for the certifier/post-hoc
+            # tools (same numeric semantics on the whole real line)
+            sq = emit(ot.POW, rec(e.args[0]), ot.POW_SQUARE)
+            return emit(ot.POW, sq, ot.POW_SQRT)
         raise ValueError(f"unsupported sympy node {e.func} in {e}")
 
     rec(expr)

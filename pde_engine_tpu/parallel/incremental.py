@@ -100,6 +100,15 @@ class JetCache:
         return {"screen": np.asarray(self.screen[:n]),
                 "fp": np.asarray(self.fp[:n]), "n": n}
 
+    def snapshot_range(self, lo: int, hi: int) -> dict:
+        """Host copy of rows [lo, hi) — the incremental-shard snapshot
+        path (runtime writes only the rows appended since the last depth;
+        cache rows are append-only and immutable, so per-depth deltas
+        compose into an exact full snapshot)."""
+        hi = min(hi, self.n)
+        return {"screen": np.asarray(self.screen[lo:hi]),
+                "fp": np.asarray(self.fp[lo:hi])}
+
     def load_rows(self, screen_np: np.ndarray, fp_np: np.ndarray) -> None:
         """Place host rows at [0, k) and set the logical size to k."""
         k = int(screen_np.shape[0])

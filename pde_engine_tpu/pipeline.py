@@ -1280,18 +1280,27 @@ class DiscoveryEngine:
                 on_depth(st)
         return self.stats
 
-    def seed_cache_from_uniques(self, snapshot: Optional[dict] = None):
+    def seed_cache_from_uniques(self, snapshot: Optional[dict] = None,
+                                limit: Optional[int] = None):
         """Resume path: restore the jet cache for all reloaded uniques.
 
-        With a ``snapshot`` (the run's .jets.npz sidecar) the device state
+        With a ``snapshot`` (the run's jet-shard sidecar) the device state
         is restored bit-exactly — REQUIRED for resumed dedup to agree with
         stored fingerprint keys (the f32 device jets are not reproducible
         through the f64 oracle: ~2-4% of quantized fingerprints shift).
         Rows beyond the snapshot (uniques whose jets were never
         device-cached, e.g. a former final depth being extended) are
-        re-evaluated through the float64 tape oracle."""
+        re-evaluated through the float64 tape oracle.
+
+        ``limit`` caps the number of cached rows to the original run's
+        parent window (saved as ``cache_n`` at each depth barrier) — a
+        mega-run whose uniques exceeded max_cache_rows must resume with
+        the SAME truncated window or deeper depths would compose from
+        parents the original run never used."""
         import jax.numpy as jnp
         total = self.enumerator.count_uniques()
+        if limit is not None:
+            total = min(total, limit)
         if total == 0:
             return
         n0 = 0

@@ -70,15 +70,18 @@ class SearchConfig:
     # False = pure Python; True = require (raises if unavailable).
     use_native: Optional[bool] = None
 
-    # Checkpoint the device jet cache to <db>.jets.npz at each depth
-    # completion.  Resume loads it bit-exactly — required for resumed runs
-    # to reproduce the original run's f32 fingerprints (without it, resume
-    # re-derives jets through the f64 oracle and ~2-4% of quantized
-    # fingerprint keys shift, mis-deduping against stored signatures).
+    # Checkpoint the device jet cache to <db>.jets.d/ shards at each depth
+    # completion (incremental: each depth writes only the rows appended
+    # since the last barrier).  Resume loads it bit-exactly — required for
+    # resumed runs to reproduce the original run's f32 fingerprints
+    # (without it, resume re-derives jets through the f64 oracle and
+    # ~2-4% of quantized fingerprint keys shift, mis-deduping against
+    # stored signatures).
     snapshot_jets: bool = True
-    # Skip the snapshot once the cache exceeds this many bytes (mega-runs;
-    # a skipped snapshot only costs resume exactness, noted in the log).
-    snapshot_max_bytes: int = 4 << 30
+    # Stop snapshotting beyond this many bytes of shards (disk budget;
+    # resume re-derives the un-snapshotted tail in float64, noted in the
+    # log).  16 GiB covers a full 20M-row max_cache_rows cache.
+    snapshot_max_bytes: int = 16 << 30
 
     # Final-depth uniques never feed deeper levels within the same run, so
     # their jets normally skip the cache (60%+ of a mega-run's uniques —

@@ -257,15 +257,24 @@ class DedupMap:
         return int(self._core.dm_size(self._h))
 
     def items(self):
+        ks, vs = self.items_arrays()
+        return list(zip(ks.tolist(), vs.tolist()))
+
+    def items_arrays(self):
+        """(keys, uids) as numpy arrays — the registry-sidecar export
+        (runtime._save_registry_sidecar scatters keys into uid order)."""
         if self._d is not None:
-            return list(self._d.items())
+            n = len(self._d)
+            ks = np.fromiter(self._d.keys(), dtype=np.uint64, count=n)
+            vs = np.fromiter(self._d.values(), dtype=np.int64, count=n)
+            return ks, vs
         n = len(self)
         ks = np.empty(n, dtype=np.uint64)
         vs = np.empty(n, dtype=np.int64)
         if n:
             self._core.dm_items(self._h, _as_ptr(ks, ct.c_uint64),
                                 _as_ptr(vs, ct.c_int64))
-        return list(zip(ks.tolist(), vs.tolist()))
+        return ks, vs
 
     def __del__(self):
         core, h = getattr(self, "_core", None), getattr(self, "_h", None)

@@ -79,3 +79,30 @@ def test_kerr_certificates():
     assert c["proof"] in ("cancel-zero", "simplify-zero")
     c2 = certificate_for(p, "r*x")
     assert c2["proof"] == "refuted"
+
+
+@pytest.mark.parametrize("prob,valid,invalid", [
+    ("laplace", "X**2 - Y**2", "X*Y**2"),
+    ("grad_shafranov", "rho**2*z", "rho*z"),
+])
+def test_laplace_gs_certificate_roundtrip(tmp_path, prob, valid, invalid):
+    """VERDICT round-2 weak #1: the checker carried the WRONG Laplace
+    operator (axisymmetric instead of the engine's Cartesian u_XX+u_YY),
+    so certifying a genuinely valid Laplace solution would FAIL — and no
+    test covered laplace/GS.  Round-trip both through the certifier AND
+    the independent checker subprocess."""
+    p = load_problem(prob)
+    out = certify_rows(p, [valid, invalid], str(tmp_path),
+                       run_id=f"rt_{prob}")
+    with open(out["path"]) as f:
+        doc = json.load(f)
+    proofs = [c["proof"] for c in doc["certificates"]]
+    assert proofs[0] in ("cancel-zero", "simplify-zero"), proofs
+    assert proofs[1] == "refuted", proofs
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "check_certificates.py"),
+         out["path"]],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "0 FAILED" in r.stdout

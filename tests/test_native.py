@@ -153,7 +153,10 @@ def test_native_resume_matches_fresh(tmp_path):
     a.run()
     run_id = a.run_id
     a.close()
-    assert (tmp_path / "a.db.jets.npz").exists()
+    # incremental shard-dir snapshot format (round 3)
+    shard_dir = tmp_path / "a.db.jets.d"
+    assert shard_dir.is_dir() and any(
+        f.startswith("shard_") for f in os.listdir(shard_dir))
 
     def key_cols(run):
         return [(r["id"], r["expression"], r["signature"], r["depth"],

@@ -160,3 +160,42 @@ def test_new_problem_knowns_zero(slug, exprs):
         res, scale = np_residual(p, expr_str)
         rel = np.abs(res) / (scale + 1e-300)
         assert rel.max() < 1e-9, (expr_str, rel.max())
+
+
+def test_kerr_heavy_funnel_verdicts():
+    """The round-3 rewrite of the Kerr heavy checks (finiteness probe,
+    data-driven flux limits, single a->0 anchor limit) must keep the
+    reference funnel's verdicts (kerr validator.py:93-161 semantics)."""
+    import sympy as sp
+
+    p = load_problem("kerr")
+    r, x = p.sympy_vars()
+    prm = p.sympy_params()
+    M, a = prm["M"], prm["a"]
+
+    # finiteness probe: healthy forms pass, probe-point blow-ups fail
+    assert p._finite_classical(1 - x)
+    assert p._finite_classical(r * x + a**2)
+    assert not p._finite_classical(1 / (r - sp.Rational(7, 3)))
+    assert not p._finite_classical(sp.zoo * r)
+
+    # regularity: monopole-like forms are regular on axis + horizon; a
+    # 1/(1 - x**2) form has divergent axis flux limits
+    assert p._check_regularity(1 - x)
+    assert not p._check_regularity(r / (1 - x**2))
+
+    # anchor: a-dependent expressions reduce to the monopole as a -> 0
+    assert p.is_monopole_extension(1 - x + a**2 * r * x)
+    assert not p.is_monopole_extension(1 - x + r)
+    # normalization-tolerant mode accepts a constant (M-dependent) offset
+    p.allow_normalization = True
+    try:
+        assert p.is_monopole_extension(1 - x + 2 * M)
+    finally:
+        p.allow_normalization = False
+
+    # full funnel: constants excluded; anchored solutions pass
+    ok, why = p.heavy_checks(sp.Rational(1, 3))
+    assert not ok and "constant" in why.lower()
+    ok, _ = p.heavy_checks(1 - x)
+    assert ok

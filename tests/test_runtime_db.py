@@ -268,6 +268,84 @@ def test_no_audit_rejects_mode(tmp_path):
     full.close()
 
 
+def test_no_audit_resume_matches_fresh(tmp_path):
+    """VERDICT round-2 missing #1 (the repro that exposed it): resuming a
+    --no-audit-rejects run must reproduce a fresh run exactly — the
+    registry sidecar carries the full unique set even though the DB holds
+    only valid rows.  Before the sidecar, a resumed laplace depth-2→3 run
+    under-enumerated 1427→291 uniques with no warning."""
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    fresh = DiscoveryRun("laplace",
+                         config=SearchConfig(max_depth=3,
+                                             audit_rejects=False),
+                         db_path=str(tmp_path / "fresh.db"), verbose=False)
+    frep = fresh.run(3)
+
+    part = DiscoveryRun("laplace",
+                        config=SearchConfig(max_depth=2,
+                                            audit_rejects=False),
+                        db_path=str(tmp_path / "part.db"), verbose=False)
+    part.run(2)
+    rid = part.run_id
+    part.close()
+
+    res = DiscoveryRun.resume("laplace", rid,
+                              config=SearchConfig(max_depth=3,
+                                                  audit_rejects=False),
+                              db_path=str(tmp_path / "part.db"),
+                              verbose=False)
+    rrep = res.continue_run(3)
+
+    # per-depth unique/valid counts identical (291 vs 1427 before the fix)
+    assert rrep["by_depth"] == frep["by_depth"]
+    assert rrep["total_valid"] == frep["total_valid"]
+    # every valid row identical: id, expression, signature
+    fv = {(int(r["id"]), r["expression"], r["signature"])
+          for r in fresh.db.rows("is_valid=1")}
+    rv = {(int(r["id"]), r["expression"], r["signature"])
+          for r in res.db.rows("is_valid=1")}
+    assert rv == fv
+    # the rebuilt registry matches the fresh forward registry exactly
+    import numpy as np
+    eb, ef = fresh.engine.enumerator, res.engine.enumerator
+    n = eb.count_uniques()
+    assert ef.count_uniques() == n
+    np.testing.assert_array_equal(ef.u_op[:n], eb.u_op[:n])
+    np.testing.assert_array_equal(ef.u_a[:n], eb.u_a[:n])
+    np.testing.assert_array_equal(ef.u_b[:n], eb.u_b[:n])
+    assert [ef.expr_str_of(u) for u in range(n)] == \
+           [eb.expr_str_of(u) for u in range(n)]
+    fresh.close()
+    res.close()
+
+
+def test_no_audit_resume_without_sidecar_refuses(tmp_path):
+    """A no-audit run whose registry sidecar is missing (e.g. a round-2
+    DB) must REFUSE to resume rather than silently under-enumerate."""
+    import pytest as _pytest
+
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    run = DiscoveryRun("laplace",
+                       config=SearchConfig(max_depth=2,
+                                           audit_rejects=False),
+                       db_path=str(tmp_path / "na.db"), verbose=False)
+    run.run(2)
+    rid = run.run_id
+    run.close()
+    os.remove(str(tmp_path / "na.db") + ".registry.npz")
+
+    with _pytest.raises(RuntimeError, match="audit_rejects=False"):
+        DiscoveryRun.resume("laplace", rid,
+                            config=SearchConfig(max_depth=3,
+                                                audit_rejects=False),
+                            db_path=str(tmp_path / "na.db"),
+                            verbose=False)
+
+
 def test_struct_fast_resume_equals_parse_resume(tmp_path):
     """The array-speed resume (structural triples, no re-parsing) must
     rebuild EXACTLY the registry the SymPy parse path builds: same uids,

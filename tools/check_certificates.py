@@ -10,7 +10,7 @@ in the engine's residual cannot self-certify):
               B = u_r^2 + u_z^2, T = u_z d_r - u_r d_z  (Compère Eq 2.14)
   kerr        d_r[(G/(1-x^2)) u_r] + d_x[(G/D) u_x],  D = r^2-2Mr+a^2,
               G = 1 - 2Mr/(r^2+a^2 x^2), M=1, a=1/10
-  laplace     u_rr + u_r/r + u_zz   (axisymmetric)
+  laplace     u_XX + u_YY   (Cartesian 2-D, models/laplace_gs.py:61-66)
   grad_shafranov  u_rr - u_r/r + u_zz
 
 Usage: python tools/check_certificates.py <certificates.json> [--limit N]
@@ -62,8 +62,13 @@ def residual_for(problem_name, u, v0, v1):
         return (sp.diff(G / (1 - x**2) * u.diff(r), r)
                 + sp.diff(G / D * u.diff(x), x))
     if "laplace" in name:
-        r, z = v0, v1
-        return u.diff(r, 2) + u.diff(r) / r + u.diff(z, 2)
+        # Cartesian 2-D harmonic operator — the engine's Laplace problem
+        # is u_XX + u_YY on coordinates (X, Y) (models/laplace_gs.py:
+        # 61-66), NOT the axisymmetric form this checker carried before
+        # round 3 (VERDICT round 2 weak #1: certifying a genuinely valid
+        # solution like X**2 - Y**2 would have FAILED here).
+        X, Y = v0, v1
+        return u.diff(X, 2) + u.diff(Y, 2)
     if "shafranov" in name:
         r, z = v0, v1
         return u.diff(r, 2) - u.diff(r) / r + u.diff(z, 2)
