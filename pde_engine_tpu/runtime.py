@@ -41,14 +41,34 @@ class DiscoveryRun:
         self.run_id = run_id or new_run_id()
         out_dir = self.problem.get_output_dir()
         self.db_path = db_path or db_path_for(out_dir, self.run_id)
-        self.db = RunDB(self.db_path, self.run_id)
+        # Single-writer discipline (reference general:1109-1220): in a
+        # multi-process run only process 0 owns the run DB, reports and
+        # snapshot/sidecar files — every other host gets a read-through
+        # no-op DB (utils/db.ReadOnlyRunDB) so ingest stays in lockstep
+        # without concurrent SQLite writers on a shared filesystem.
+        self.is_writer = True
+        if mesh is not None:
+            try:
+                import jax
+                if jax.process_count() > 1:
+                    from .parallel.distributed import is_writer
+                    self.is_writer = is_writer()
+            except Exception:
+                pass
+        if self.is_writer:
+            self.db = RunDB(self.db_path, self.run_id)
+        else:
+            from .utils.db import ReadOnlyRunDB
+            self.db = ReadOnlyRunDB(self.db_path, self.run_id)
         self.mesh = mesh
         self.verbose = verbose
         self.engine = DiscoveryEngine(self.problem, self.config, mesh=mesh)
         # native reject sink: mass reject rows bypass Python tuple
         # construction and go straight into the run DB via the C++ writer
         self._native_sink = None
-        if self.config.use_native is not False:
+        if not self.is_writer:
+            pass  # non-writers never open a native sqlite sink
+        elif self.config.use_native is not False:
             try:
                 from .utils.native import NativeRejectSink, load_core
                 if load_core() is not None:
@@ -155,7 +175,7 @@ class DiscoveryRun:
                 _INGEST_TIMERS.clear()
 
         monitor = None
-        if self.verbose:
+        if self.verbose and self.is_writer:
             from .utils.monitor import Monitor
             monitor = Monitor(self.db_path, self.run_id, interval=5.0,
                               printer=lambda s: self._log(s)).start()
@@ -190,7 +210,8 @@ class DiscoveryRun:
         report["wall_seconds"] = time.time() - t_start
         report["device_seconds"] = self.engine.device_seconds
         report["candidates_screened"] = self.engine.candidates_screened
-        paths = write_report_files(report, self.problem.get_output_dir())
+        paths = (write_report_files(report, self.problem.get_output_dir())
+                 if self.is_writer else None)
         # total_generated = all candidates screened; total_validated =
         # stored (validated) rows — the reference's schema distinguishes
         # the two (ADVICE.md round 1)
@@ -200,7 +221,8 @@ class DiscoveryRun:
             self.engine.n_rows, report["total_valid"])
         self.db.complete_run("completed")
         self._log(format_report_text(report))
-        self._log(f"Reports: {paths['json']}  {paths['txt']}")
+        if paths is not None:
+            self._log(f"Reports: {paths['json']}  {paths['txt']}")
         return report
 
     # ------------------------------------------------------------------
@@ -243,7 +265,7 @@ class DiscoveryRun:
         the round-2 skip-above-4-GiB behavior that silently weakened
         mega-run resume (VERDICT round 2 weak #8) — a depth's snapshot
         cost is its delta, not the whole cache."""
-        if not self.config.snapshot_jets:
+        if not self.config.snapshot_jets or not self.is_writer:
             return
         cache = self.engine.cache
         shards = self._shard_files()
@@ -324,6 +346,8 @@ class DiscoveryRun:
         from the structure (Enumerator.register_from_struct_compose).
         Reference resume contract: general_method_paper_reproduction.py:
         973-1107 (drain exactly the pending remainder)."""
+        if not self.is_writer:
+            return
         eng = self.engine
         enum = eng.enumerator
         n = enum.count_uniques()

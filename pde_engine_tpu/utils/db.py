@@ -315,3 +315,143 @@ class RunDB:
     def close(self):
         self.flush()
         self.conn.close()
+
+
+class ReadOnlyRunDB:
+    """RunDB stand-in for NON-WRITER hosts in a multi-process run.
+
+    Single-writer discipline (the reference funnelled every UPDATE
+    through one writer process, general:1109-1220): only process 0 owns
+    the run DB — with every host constructing a DiscoveryRun, concurrent
+    SQLite writers from multiple hosts over a shared filesystem risk
+    corruption (WAL over NFS), and report/snapshot files would clobber
+    each other (ADVICE.md round 2).  Non-writers get this object: every
+    write is a no-op; reads pass through to the writer's file when it is
+    visible on a shared filesystem (resume state, valid rows), else
+    return empties."""
+
+    def __init__(self, db_path: str, run_id: str):
+        self.db_path = db_path
+        self.run_id = run_id
+        self.table = table_name_for(run_id)
+
+    def _ro(self) -> Optional[sqlite3.Connection]:
+        if not os.path.exists(self.db_path):
+            return None
+        try:
+            return sqlite3.connect(f"file:{self.db_path}?mode=ro",
+                                   uri=True)
+        except sqlite3.Error:
+            return None
+
+    # -- writes: all no-ops --------------------------------------------
+    def start_run(self, max_depth: int):
+        pass
+
+    def add_row(self, row) -> None:
+        pass
+
+    def add_row_tuples(self, tuples) -> None:
+        pass
+
+    def ensure_indices(self):
+        pass
+
+    def flush(self):
+        pass
+
+    def update_metadata(self, *a, **kw):
+        pass
+
+    def complete_run(self, status: str = "completed"):
+        pass
+
+    def save_generator_state(self, state: Dict):
+        pass
+
+    def worker_heartbeat(self, *a, **kw):
+        pass
+
+    def update_heavy(self, *a, **kw):
+        pass
+
+    # -- reads: through the writer's file when visible ------------------
+    def load_generator_state(self) -> Optional[Dict]:
+        conn = self._ro()
+        if conn is None:
+            return None
+        try:
+            cur = conn.execute(
+                "SELECT state_json FROM generator_progress WHERE run_id=?",
+                (self.run_id,))
+            r = cur.fetchone()
+            return json.loads(r[0]) if r else None
+        except sqlite3.Error:
+            return None
+        finally:
+            conn.close()
+
+    def depth_counts(self) -> Dict[int, Dict[str, int]]:
+        conn = self._ro()
+        if conn is None:
+            return {}
+        try:
+            cur = conn.execute(
+                f"SELECT depth, COUNT(*), COALESCE(SUM(is_valid), 0) "
+                f"FROM {self.table} GROUP BY depth ORDER BY depth")
+            return {int(d): {"generated": int(n), "valid": int(v)}
+                    for d, n, v in cur.fetchall()}
+        except sqlite3.Error:
+            return {}
+        finally:
+            conn.close()
+
+    def counts(self) -> Dict[str, int]:
+        conn = self._ro()
+        if conn is None:
+            return {"total": 0, "validated": 0, "valid": 0}
+        try:
+            cur = conn.execute(
+                f"SELECT COUNT(*), SUM(validation_status='completed'), "
+                f"SUM(is_valid) FROM {self.table}")
+            total, validated, valid = cur.fetchone()
+            return {"total": total or 0, "validated": validated or 0,
+                    "valid": valid or 0}
+        except sqlite3.Error:
+            return {"total": 0, "validated": 0, "valid": 0}
+        finally:
+            conn.close()
+
+    def rows(self, where: str = "", args: tuple = ()) -> List[sqlite3.Row]:
+        conn = self._ro()
+        if conn is None:
+            return []
+        try:
+            conn.row_factory = sqlite3.Row
+            cur = conn.execute(
+                f"SELECT * FROM {self.table} "
+                + (f"WHERE {where} " if where else "") + "ORDER BY id",
+                args)
+            return cur.fetchall()
+        except sqlite3.Error:
+            return []
+        finally:
+            conn.close()
+
+    def metadata(self) -> Optional[sqlite3.Row]:
+        conn = self._ro()
+        if conn is None:
+            return None
+        try:
+            conn.row_factory = sqlite3.Row
+            cur = conn.execute(
+                "SELECT * FROM run_metadata WHERE run_id=?",
+                (self.run_id,))
+            return cur.fetchone()
+        except sqlite3.Error:
+            return None
+        finally:
+            conn.close()
+
+    def close(self):
+        pass
