@@ -877,3 +877,158 @@ int64_t ej_eval_many(const int32_t* tapes, const int64_t* lengths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tape materializer (tm_*): flatten a registry uid into its SSA tape.
+//
+// Mirrors the Python composition exactly (pde_engine_tpu/ops/tape.py
+// apply_unary/apply_binary + optable.py surface lowerings): a composed
+// tape is left operand rows, then right operand rows with registers
+// shifted, then the surface op's lowered rows.  Byte-identical output is
+// asserted against the Python path in tests/test_native.py.
+//
+// This removes the per-passer Python cost of ancestor Unique
+// materialization + recursive tape composition (~100-150 us/passer —
+// ~75 s of a depth-5 audited run; PERF roadmap #3).
+// ---------------------------------------------------------------------------
+
+namespace tapemat {
+
+enum { T_NOP = 0, T_VAR0 = 1, T_VAR1 = 2, T_CONST = 3, T_ADD = 4,
+       T_SUB = 5, T_MUL = 6, T_NEG = 7, T_POW = 8, T_EXP = 9, T_LOG = 10 };
+enum { P_INV = 0, P_SQRT = 1, P_SQUARE = 2, P_32 = 3, P_N32 = 4 };
+
+// surface op ids = ALL_SURFACE_OPS insertion order (optable.py:163-190);
+// the Python binding asserts this order at load time
+enum { S_NEG = 0, S_INV, S_SQRT, S_SQUARE, S_POW32, S_POWN32, S_EXP,
+       S_EXP_NEG, S_ADD, S_SUB, S_MUL, S_DIV, S_GEOM_SUM,
+       S_SQRT_SHIFT_NEG, S_SQRT_SHIFT_POS, S_EXP_MUL, S_LOG_MUL };
+
+struct Builder {
+    const int16_t* u_op;
+    const int32_t* u_a;
+    const int32_t* u_b;
+    const int32_t* leaf_rows;   // [sum(leaf_len), 3], leaf i == uid i
+    const int64_t* leaf_off;
+    const int64_t* leaf_len;
+    int64_t n_leaves;
+    int32_t one_idx;            // const-table index of Fraction(1)
+    int32_t* out;               // [cap, 3]
+    int64_t len, cap;
+    bool ok;
+
+    int64_t emit(int op, int64_t a, int64_t b) {
+        if (len >= cap) { ok = false; return 0; }
+        int32_t* r = out + len * 3;
+        r[0] = (int32_t)op; r[1] = (int32_t)a; r[2] = (int32_t)b;
+        return len++;
+    }
+
+    int64_t build(int64_t uid) {
+        int16_t op = u_op[uid];
+        if (op < 0) {            // leaf: copy primitive rows, shifted
+            if (uid >= n_leaves) { ok = false; return 0; }
+            int64_t off = leaf_off[uid], L = leaf_len[uid];
+            int64_t shift = len;
+            if (len + L > cap) { ok = false; return 0; }
+            for (int64_t i = 0; i < L; ++i) {
+                const int32_t* r = leaf_rows + (off + i) * 3;
+                int32_t opc = r[0], a = r[1], b = r[2];
+                if (opc == T_ADD || opc == T_SUB || opc == T_MUL) {
+                    a += (int32_t)shift; b += (int32_t)shift;
+                } else if (opc == T_NEG || opc == T_POW || opc == T_EXP
+                           || opc == T_LOG) {
+                    a += (int32_t)shift;
+                }
+                int32_t* o = out + len * 3;
+                o[0] = opc; o[1] = a; o[2] = b; ++len;
+            }
+            return len - 1;
+        }
+        int64_t ra = build(u_a[uid]);
+        if (!ok) return 0;
+        int64_t rb = -1;
+        if (u_b[uid] >= 0) {
+            rb = build(u_b[uid]);
+            if (!ok) return 0;
+        }
+        switch (op) {
+            case S_NEG:    return emit(T_NEG, ra, 0);
+            case S_INV:    return emit(T_POW, ra, P_INV);
+            case S_SQRT:   return emit(T_POW, ra, P_SQRT);
+            case S_SQUARE: return emit(T_POW, ra, P_SQUARE);
+            case S_POW32:  return emit(T_POW, ra, P_32);
+            case S_POWN32: return emit(T_POW, ra, P_N32);
+            case S_EXP:    return emit(T_EXP, ra, 0);
+            case S_EXP_NEG: {
+                int64_t n1 = emit(T_NEG, ra, 0);
+                return emit(T_EXP, n1, 0);
+            }
+            case S_ADD:    return emit(T_ADD, ra, rb);
+            case S_SUB:    return emit(T_SUB, ra, rb);
+            case S_MUL:    return emit(T_MUL, ra, rb);
+            case S_DIV: {
+                int64_t i1 = emit(T_POW, rb, P_INV);
+                return emit(T_MUL, ra, i1);
+            }
+            case S_GEOM_SUM: {
+                int64_t one = emit(T_CONST, 0, one_idx);
+                int64_t den = emit(T_SUB, one, rb);
+                int64_t inv = emit(T_POW, den, P_INV);
+                return emit(T_MUL, ra, inv);
+            }
+            case S_SQRT_SHIFT_NEG: {
+                int64_t one = emit(T_CONST, 0, one_idx);
+                int64_t am1 = emit(T_SUB, ra, one);
+                int64_t s1 = emit(T_POW, am1, P_SQUARE);
+                int64_t s2 = emit(T_POW, rb, P_SQUARE);
+                int64_t tot = emit(T_ADD, s1, s2);
+                return emit(T_POW, tot, P_SQRT);
+            }
+            case S_SQRT_SHIFT_POS: {
+                int64_t one = emit(T_CONST, 0, one_idx);
+                int64_t ap1 = emit(T_ADD, ra, one);
+                int64_t s1 = emit(T_POW, ap1, P_SQUARE);
+                int64_t s2 = emit(T_POW, rb, P_SQUARE);
+                int64_t tot = emit(T_ADD, s1, s2);
+                return emit(T_POW, tot, P_SQRT);
+            }
+            case S_EXP_MUL: {
+                int64_t e = emit(T_EXP, rb, 0);
+                return emit(T_MUL, ra, e);
+            }
+            case S_LOG_MUL: {
+                int64_t l = emit(T_LOG, rb, 0);
+                return emit(T_MUL, ra, l);
+            }
+            default: ok = false; return 0;
+        }
+    }
+};
+
+}  // namespace tapemat
+
+extern "C" {
+
+// Build padded tapes for `uids` into out[n, max_len, 3] (caller
+// zero-fills; pad rows are NOP).  Returns 0, or -(i+1) when tape i
+// exceeded max_len / hit an unknown op (caller falls back to Python).
+int64_t tm_build_batch(const int16_t* u_op, const int32_t* u_a,
+                       const int32_t* u_b, const int32_t* leaf_rows,
+                       const int64_t* leaf_off, const int64_t* leaf_len,
+                       int64_t n_leaves, int32_t one_idx,
+                       const int64_t* uids, int64_t n,
+                       int32_t* out, int64_t max_len,
+                       int64_t* out_lens) {
+    for (int64_t i = 0; i < n; ++i) {
+        tapemat::Builder B{u_op, u_a, u_b, leaf_rows, leaf_off, leaf_len,
+                           n_leaves, one_idx, out + i * max_len * 3,
+                           0, max_len, true};
+        B.build(uids[i]);
+        if (!B.ok) return -(i + 1);
+        out_lens[i] = B.len;
+    }
+    return 0;
+}
+
+}  // extern "C"

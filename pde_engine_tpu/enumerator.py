@@ -65,6 +65,60 @@ def _fully_wrapped(s: str) -> bool:
     return False
 
 
+class SparseStrList:
+    """List-of-Optional[str] stand-in for the arena path: the native
+    arena owns the strings, so the Python side needs only a sparse
+    overlay for the rare explicit sets (screen passers, repairs).  The
+    two dense ``[None] * n`` lists were 16 B/unique of host RAM — ~6 GB
+    of a 3.8e8-unique depth-6 registry (PERF roadmap #2 / VERDICT round 2
+    missing #3)."""
+
+    __slots__ = ("_n", "_d")
+
+    def __init__(self):
+        self._n = 0
+        self._d: Dict[int, str] = {}
+
+    def append(self, s: Optional[str]):
+        if s is not None:
+            self._d[self._n] = s
+        self._n += 1
+
+    def extend(self, it):
+        for s in it:
+            self.append(s)
+
+    def extend_none(self, n: int):
+        self._n += n
+
+    def __getitem__(self, i: int) -> Optional[str]:
+        if i < 0 or i >= self._n:
+            raise IndexError(i)
+        return self._d.get(i)
+
+    def __setitem__(self, i: int, s: Optional[str]):
+        if i < 0 or i >= self._n:
+            raise IndexError(i)
+        if s is None:
+            self._d.pop(i, None)
+        else:
+            self._d[i] = s
+
+    def __len__(self) -> int:
+        return self._n
+
+    def to_list(self) -> List[Optional[str]]:
+        return [self._d.get(i) for i in range(self._n)]
+
+
+def _extend_none(lst, n: int):
+    """extend with n Nones — O(1) bookkeeping on the sparse overlay."""
+    if isinstance(lst, SparseStrList):
+        lst.extend_none(n)
+    else:
+        lst.extend([None] * n)
+
+
 class Candidate:
     """A node in the enumeration DAG.  Either a leaf (explicit tape) or
     ``op(a, b)`` over parent uniques; the tape materializes on demand."""
@@ -173,6 +227,11 @@ class Enumerator:
             self.arena = ExprArena()
         except Exception:
             self.arena = None
+        if self.arena is not None:
+            # sparse overlays: the arena owns the strings (the two dense
+            # None-lists were 16 B/unique at mega-run scale)
+            self.expr_strs = SparseStrList()
+            self.wrapped_strs = SparseStrList()
 
     # ------------------------------------------------------------------
     def primitive_candidates(self) -> List[Candidate]:
@@ -251,17 +310,27 @@ class Enumerator:
 
     def add_uniques_bulk(self, op_name: str, a_u: np.ndarray,
                          b_u: Optional[np.ndarray], depth: int,
-                         retain_strings: bool = True
+                         retain_strings: bool = True,
+                         arena_strings: bool = True
                          ) -> Tuple[int, List[str]]:
         """Register ``op(a, b)`` uniques for parent-uid arrays; returns
         (first uid, display strings).  ``retain_strings=False`` skips
         keeping the strings in the registry (final-depth uniques never
         become parents; their strings live only in the emitted DB rows) —
-        they can still be rebuilt on demand from the SoA structure."""
+        they can still be rebuilt on demand from the SoA structure.
+        ``arena_strings=False`` additionally skips composing them into
+        the native arena (no-audit final depth: nothing reads them —
+        ~50 GB of a 3.8e8-unique depth-6 registry); the arena tail is
+        repaired in uid order by _ensure_strings if the run is later
+        extended deeper."""
         n = int(a_u.size)
         # a former final depth may have dropped its strings; if this call
-        # builds on top of it (run extended deeper in-process), repair first
-        if self._dropped_string_depths:
+        # needs to READ them (Python-list composition, or arena
+        # composition from parent bytes), repair first.  A no-audit
+        # final-depth batch (arena_strings=False) reads nothing — skip
+        # the repair so resumed mega-runs never rebuild dropped strings.
+        if self._dropped_string_depths and (self.arena is None
+                                            or arena_strings):
             self._ensure_strings(depth)
         uid0 = self._next_uid
         self._next_uid += n
@@ -307,6 +376,11 @@ class Enumerator:
             # native path: compose in the C arena (one call, no Python
             # string objects); Python lists carry None and expr_str_of /
             # the reject sink read the arena directly
+            if not arena_strings:
+                _extend_none(es, n)
+                _extend_none(ws, n)
+                self._dropped_string_depths.add(depth)
+                return uid0, None
             if unary:
                 self.arena.add_bulk(op_name + "(", None, ")", a_u, None)
             else:
@@ -319,8 +393,8 @@ class Enumerator:
                 else:
                     self.arena.add_bulk(op_name + "(", ", ", ")",
                                         a_u, b_u)
-            es.extend([None] * n)
-            ws.extend([None] * n)
+            _extend_none(es, n)
+            _extend_none(ws, n)
             return uid0, None
         if unary:
             pre = op_name + "("
@@ -400,14 +474,14 @@ class Enumerator:
             # caller composes the strings itself (see
             # register_from_struct_compose); Python lists get placeholders,
             # the arena is left untouched for the caller's appends
-            self.expr_strs.extend([None] * n)
-            self.wrapped_strs.extend([None] * n)
+            _extend_none(self.expr_strs, n)
+            _extend_none(self.wrapped_strs, n)
         elif self.arena is not None:
             CHUNK = 1 << 20
             for lo in range(0, n, CHUNK):
                 self.arena.add_raw(exprs[lo:lo + CHUNK])
-            self.expr_strs.extend([None] * n)
-            self.wrapped_strs.extend([None] * n)
+            _extend_none(self.expr_strs, n)
+            _extend_none(self.wrapped_strs, n)
         else:
             self.expr_strs.extend(exprs)
             # composed spellings are self-wrapped (see add_uniques_bulk)
@@ -486,9 +560,12 @@ class Enumerator:
 
     def _drop_arena(self):
         """Abandon the native string arena: materialize every arena-backed
-        string into the Python lists, then continue on the Python path."""
+        string into plain Python lists, then continue on the Python path."""
         arena = self.arena
         self.arena = None
+        if isinstance(self.expr_strs, SparseStrList):
+            self.expr_strs = self.expr_strs.to_list()
+            self.wrapped_strs = self.wrapped_strs.to_list()
         for uid in range(self._next_uid):
             if self.expr_strs[uid] is None and uid < len(arena):
                 s = arena.get(uid)
@@ -496,14 +573,25 @@ class Enumerator:
                 self.wrapped_strs[uid] = wrap_operand(s)
 
     def _ensure_strings(self, below_depth: int):
+        # arena tail repair first: depths registered with
+        # arena_strings=False left the arena short of the registry; appends
+        # must stay uid-aligned, so rebuild the whole contiguous tail in
+        # uid order before any new composition reads parent bytes
+        if self.arena is not None and len(self.arena) < self._next_uid:
+            CH = 1 << 16
+            for lo in range(len(self.arena), self._next_uid, CH):
+                hi = min(lo + CH, self._next_uid)
+                self.arena.add_raw(
+                    [self.expr_str_of(u) for u in range(lo, hi)])
         for d in sorted(self._dropped_string_depths):
             if d >= below_depth:
                 continue
-            for uid in self.uid_array(d).tolist():
-                if self.expr_strs[uid] is None:
-                    s = self.expr_str_of(uid)
-                    self.expr_strs[uid] = s
-                    self.wrapped_strs[uid] = wrap_operand(s)
+            if self.arena is None:
+                for uid in self.uid_array(d).tolist():
+                    if self.expr_strs[uid] is None:
+                        s = self.expr_str_of(uid)
+                        self.expr_strs[uid] = s
+                        self.wrapped_strs[uid] = wrap_operand(s)
             self._dropped_string_depths.discard(d)
 
     def _append_uid_chunk(self, depth: int, chunk: np.ndarray):
@@ -537,6 +625,65 @@ class Enumerator:
         if fmt:
             return fmt.format(a=aw, b=bw)
         return f"{op}({self.expr_str_of(a)}, {self.expr_str_of(b)})"
+
+    # ------------------------------------------------------------------
+    # Batch tape materialization (native C when available)
+    # ------------------------------------------------------------------
+
+    def _tape_builder(self):
+        """Lazy native TapeBuilder; False sentinel = unavailable."""
+        tb = getattr(self, "_tb", None)
+        d1 = self.uid_array(1)
+        if tb is not None and tb is not False and \
+                tb._n_leaves == int(d1.size):
+            return tb
+        if getattr(self, "allow_native_tapes", True) is False:
+            return None
+        try:
+            from .utils.native import TapeBuilder, load_core
+            if load_core() is None:
+                self._tb = False
+                return None
+            if not (d1.size and np.array_equal(
+                    d1, np.arange(d1.size, dtype=d1.dtype))):
+                self._tb = False
+                return None
+            leaf_tapes = [self.unique_at(int(u)).tape for u in d1]
+            from fractions import Fraction
+            one_idx = self.problem.consts.intern(Fraction(1))
+            self._tb = TapeBuilder(self._op_names, leaf_tapes, one_idx)
+        except Exception:
+            self._tb = False
+            return None
+        return self._tb
+
+    def tapes_batch(self, uids) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialize padded tapes for ``uids``: ([n, L, 3] int32 with
+        NOP padding, lengths int64[n]).  C fast path (tm_build_batch),
+        Python composition fallback — byte-identical by construction
+        (asserted in tests/test_native.py)."""
+        uids = np.asarray(uids, dtype=np.int64)
+        tb = self._tape_builder()
+        if tb is not None:
+            max_len = 64
+            while max_len <= 8192:
+                res = tb.build_batch(self.u_op, self.u_a, self.u_b,
+                                     uids, max_len)
+                if res is not None:
+                    arr, lens = res
+                    L = int(lens.max()) if lens.size else 1
+                    return np.ascontiguousarray(arr[:, :L]), lens
+                max_len *= 4
+        tapes = [self.unique_at(int(u)).tape for u in uids]
+        L = max((len(t) for t in tapes), default=1)
+        arr = np.stack([t.padded(L) for t in tapes]) if tapes else \
+            np.zeros((0, L, 3), np.int32)
+        lens = np.array([len(t) for t in tapes], np.int64)
+        return arr, lens
+
+    def tape_of(self, uid: int) -> Tape:
+        arr, lens = self.tapes_batch(np.array([uid], np.int64))
+        return Tape(arr[0, :int(lens[0])])
 
     def unique_at(self, uid: int) -> Unique:
         """Materialize the Unique object for a uid (lazy; recursion

@@ -141,6 +141,38 @@ class _Section:
                 + time.perf_counter() - self.t0)
 
 
+class _Passer:
+    """Lazy stand-in for a screen passer's Unique: the tape and display
+    string materialize on demand (native C tape builder / structural
+    string rebuild) instead of recursively constructing the whole
+    ancestor object graph per passer (~100-150 µs each — PERF roadmap
+    #3)."""
+
+    __slots__ = ("uid", "_enum", "_tape", "_expr")
+
+    def __init__(self, enum: Enumerator, uid: int):
+        self.uid = uid
+        self._enum = enum
+        self._tape = None
+        self._expr = None
+
+    @property
+    def tape(self):
+        if self._tape is None:
+            self._tape = self._enum.tape_of(self.uid)
+        return self._tape
+
+    @property
+    def expr_str(self) -> str:
+        if self._expr is None:
+            self._expr = self._enum.expr_str_of(self.uid)
+        return self._expr
+
+    @property
+    def has_var(self) -> bool:
+        return bool(self._enum.f_has_var[self.uid])
+
+
 class DiscoveryEngine:
 
     def __init__(self, problem: Problem, config: Optional[SearchConfig] = None,
@@ -157,6 +189,7 @@ class DiscoveryEngine:
             prune=self.config.prune)
         if self.config.use_native is False:
             self.enumerator.arena = None  # exercise the Python string path
+            self.enumerator.allow_native_tapes = False
         self.screen_rtol = (self.config.screen_rtol
                             if self.config.screen_rtol is not None
                             else problem.screen_rtol)
@@ -593,8 +626,15 @@ class DiscoveryEngine:
             uid0, exprs = enum.add_uniques_bulk(
                 op_name, a_u[new_idx],
                 None if b_u is None else b_u[new_idx], depth,
-                retain_strings=retain_strings)
-            if exprs is None and self.native_sink is None:
+                retain_strings=retain_strings,
+                # no-audit final depth: nothing reads these strings —
+                # skip composing them into the arena entirely (they
+                # regenerate from structure on demand; ~50 GB of a
+                # depth-6 registry, PERF roadmap #2)
+                arena_strings=(self.config.audit_rejects
+                               or retain_strings))
+            if (exprs is None and self.native_sink is None
+                    and self.config.audit_rejects):
                 # arena-backed strings, but no native sink to read them:
                 # materialize Python strings for the Row/tuple paths
                 blob = enum.arena.blob(
@@ -617,17 +657,16 @@ class DiscoveryEngine:
                 is_const, nonfin, passing, on_row, on_rows)
 
         with _Section("passers"):
-            # rich path for the (rare) screen passers: f64 recheck queue
+            # lazy path for the (rare) screen passers: f64 recheck queue
+            # holds (uid-shim, evidence, key); tapes/strings materialize
+            # in batch at recheck time (C builder)
             pass_locals = np.nonzero(passing)[0]
             if pass_locals.size:
                 for local in pass_locals.tolist():
                     uid = uid0 + local
-                    if enum.expr_strs[uid] is None:
-                        s = (exprs[local] if exprs is not None
-                             else enum.arena.get(uid))
-                        enum.expr_strs[uid] = s
-                        enum.wrapped_strs[uid] = s
-                    u = enum.unique_at(uid)
+                    u = _Passer(enum, uid)
+                    if exprs is not None:
+                        u._expr = exprs[local]
                     ev = self._ev_at(sr, int(new_idx[local]))
                     key = int(newkeys[local])
                     if ev["rel_max"] < self.config.f64_skip_below:
@@ -689,7 +728,9 @@ class DiscoveryEngine:
             if exprs:
                 self.last_expr = exprs[-1]
             elif len(is_const):
-                self.last_expr = self.enumerator.arena.get(
+                # expr_str_of: arena when present, struct rebuild when
+                # the final-depth batch skipped arena strings
+                self.last_expr = self.enumerator.expr_str_of(
                     uid0 + len(is_const) - 1)
             return
         if self.native_sink is not None:
@@ -888,9 +929,10 @@ class DiscoveryEngine:
         from .parallel.search import informative_points
         consts = self.problem.consts.as_array(np.float64)
         pts = self.problem.screen_points
-        L = max(len(c.tape) for c, _, _ in part)
-        tapes = np.stack([c.tape.padded(L) for c, _, _ in part])
-        lengths = np.array([len(c.tape) for c, _, _ in part], np.int64)
+        # batch tape materialization from the SoA registry (C builder
+        # when available) — no per-candidate Python composition
+        uids = np.array([c.uid for c, _, _ in part], np.int64)
+        tapes, lengths = self.enumerator.tapes_batch(uids)
         jets = eval_jets_np_many(tapes, lengths, consts, pts,
                                  self.problem.residual_order)
         res, scale = self.problem.residual_fn(jets, pts, np)
@@ -909,24 +951,49 @@ class DiscoveryEngine:
         relmax = np.where(finite, rel.max(axis=-1), np.inf)
         return const64, finite, relmax
 
-    def _gray_maybe_submit(self, chunk: int = 4096):
+    def _gray_maybe_submit(self, chunk: int = 4096, depth: int = None,
+                           st: DepthStats = None, on_row=None):
         """Stream gray chunks to the overlap worker during the depth so
         their f64 numerics run while the main thread waits on the device
         (row emission stays on the main thread — sqlite connections and
-        Row bookkeeping are not thread-safe)."""
+        Row bookkeeping are not thread-safe).  When the caller provides
+        the emission context (depth/st/on_row), finished chunks are also
+        DRAINED here: holding every passer's Candidate+evidence until the
+        depth barrier was a multi-GB peak on mega-depths."""
         while len(self._gray) >= chunk:
             part = self._gray[:chunk]
             del self._gray[:chunk]
             self._gray_done.append(
                 (part, self._gray_pool.submit(self._gray_numeric, part)))
+        if st is not None:
+            while self._gray_done and self._gray_done[0][1].done():
+                part, fut = self._gray_done.pop(0)
+                self._emit_gray_part(part, fut.result(), depth, st,
+                                     on_row)
+
+    def _emit_gray_part(self, part, res, depth, st, on_row):
+        const64, finite, relmax = res
+        for j, (cand, ev, key) in enumerate(part):
+            if const64[j]:
+                self._add_row(cand, depth, False, self._R_CONST,
+                              "screen+f64", ev, on_row, key=key)
+            elif finite[j] and relmax[j] < self.confirm_rtol:
+                self._finalize_pass(cand, ev, float(relmax[j]),
+                                    "screen+f64", depth, st, on_row,
+                                    key)
+            else:
+                self._add_row(
+                    cand, depth, False,
+                    f"Invalid (f64 recheck relres ≈ {relmax[j]:.2e})",
+                    "screen+f64", ev, on_row, key=key)
 
     def _flush_gray(self, depth: int, st: DepthStats, on_row=None,
                     chunk: int = 4096):
         """Drain the gray zone: finish streaming chunks, then emit
         verdict rows for every chunk in submission order."""
         if self._gray:
-            # remainder (sorted so the final chunks pad tightly)
-            self._gray.sort(key=lambda t: len(t[0].tape))
+            # (no length sort: tapes are not materialized up front
+            # anymore; within-chunk padding waste is minor)
             for i in range(0, len(self._gray), chunk):
                 part = self._gray[i:i + chunk]
                 self._gray_done.append(
@@ -935,20 +1002,7 @@ class DiscoveryEngine:
             self._gray = []
         done, self._gray_done = self._gray_done, []
         for part, fut in done:
-            const64, finite, relmax = fut.result()
-            for j, (cand, ev, key) in enumerate(part):
-                if const64[j]:
-                    self._add_row(cand, depth, False, self._R_CONST,
-                                  "screen+f64", ev, on_row, key=key)
-                elif finite[j] and relmax[j] < self.confirm_rtol:
-                    self._finalize_pass(cand, ev, float(relmax[j]),
-                                        "screen+f64", depth, st, on_row,
-                                        key)
-                else:
-                    self._add_row(
-                        cand, depth, False,
-                        f"Invalid (f64 recheck relres ≈ {relmax[j]:.2e})",
-                        "screen+f64", ev, on_row, key=key)
+            self._emit_gray_part(part, fut.result(), depth, st, on_row)
 
     def _add_row(self, cand, depth, is_valid, reason, method, ev,
                  on_row=None, known=None, key: int = 0,
@@ -1112,7 +1166,7 @@ class DiscoveryEngine:
                 if room > 0:
                     self._append_kept(out_s, out_f, kept[:room])
             st.t_ingest += time.perf_counter() - ti
-            self._gray_maybe_submit()
+            self._gray_maybe_submit(depth=depth, st=st, on_row=on_row)
             if on_batch is not None:
                 on_batch(st)
 
@@ -1233,7 +1287,8 @@ class DiscoveryEngine:
                         on_rows=on_rows,
                         retain_strings=(depth < max_depth))
                     st.t_ingest += time.perf_counter() - ti
-                    self._gray_maybe_submit()
+                    self._gray_maybe_submit(depth=depth, st=st,
+                                            on_row=on_row)
                     if on_batch is not None:
                         on_batch(st)
 

@@ -611,11 +611,22 @@ class DiscoveryRun:
             raise RuntimeError(
                 "registry sidecar: depth-1 re-registration mismatch")
         if n > k:
-            enum.register_from_struct_compose(
-                np.asarray(reg["op"][k:], np.int16),
-                np.asarray(reg["a"][k:], np.int32),
-                np.asarray(reg["b"][k:], np.int32),
-                np.asarray(reg["depth"][k:], np.int16))
+            op_ids = np.asarray(reg["op"][k:], np.int16)
+            a_arr = np.asarray(reg["a"][k:], np.int32)
+            b_arr = np.asarray(reg["b"][k:], np.int32)
+            d_arr = np.asarray(reg["depth"][k:], np.int16)
+            if self.config.audit_rejects:
+                enum.register_from_struct_compose(op_ids, a_arr, b_arr,
+                                                  d_arr)
+            else:
+                # no-audit resume: nothing reads composed display strings
+                # (reject rows are never emitted; valid rows and display
+                # snippets rebuild theirs lazily from structure) — skip
+                # regenerating ~50 GB of strings for a depth-6 registry
+                enum.register_from_struct(op_ids, a_arr, b_arr, d_arr,
+                                          exprs=None)
+                for d in np.unique(d_arr).tolist():
+                    enum._dropped_string_depths.add(int(d))
         eng.fp_to_uid.set_batch(np.asarray(reg["keys"], np.uint64),
                                 np.arange(n, dtype=np.int64))
         eng.n_rows = int(reg["n_rows"])

@@ -22,7 +22,7 @@ import os
 import subprocess
 import sys
 import threading
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -158,6 +158,11 @@ def _declare(lib: ct.CDLL):
     lib.ej_eval_many.argtypes = [i32p, i64p, ct.c_int64, ct.c_int64,
                                  f64p, f64p, ct.c_int64, ct.c_int32,
                                  f64p]
+    i16p = ct.POINTER(ct.c_int16)
+    lib.tm_build_batch.restype = ct.c_int64
+    lib.tm_build_batch.argtypes = [i16p, i32p, i32p, i32p, i64p, i64p,
+                                   ct.c_int64, ct.c_int32, i64p,
+                                   ct.c_int64, i32p, ct.c_int64, i64p]
 
 
 def _as_ptr(arr: np.ndarray, ctype):
@@ -310,6 +315,68 @@ def eval_jets_native(tapes: np.ndarray, lengths: np.ndarray,
             _as_ptr(points, ct.c_double), ct.c_int64(P),
             ct.c_int32(order), _as_ptr(out, ct.c_double))
     return out if r == 0 else None
+
+
+class TapeBuilder:
+    """Native tape materializer: flatten registry uids into SSA tapes in
+    C (csrc tm_build_batch — byte-identical to the Python composition,
+    asserted in tests/test_native.py).  Removes the ~100-150 µs/passer
+    ancestor-materialization cost (PERF roadmap #3)."""
+
+    # ALL_SURFACE_OPS insertion order the C enum hard-codes
+    _EXPECTED_OPS = ("neg", "inv", "sqrt", "square", "pow_3_2",
+                     "pow_neg_3_2", "exp", "exp_neg", "add", "sub", "mul",
+                     "div", "geom_sum", "sqrt_shift_neg", "sqrt_shift_pos",
+                     "exp_mul", "log_mul")
+
+    def __init__(self, op_names, leaf_tapes, one_idx: int,
+                 core: Optional[ct.CDLL] = None):
+        """``op_names``: the enumerator's surface-op id order;
+        ``leaf_tapes``: depth-1 tapes indexed by uid (the uid prefix);
+        ``one_idx``: const-table index of Fraction(1)."""
+        self._core = core if core is not None else load_core()
+        if self._core is None:
+            raise RuntimeError("native core unavailable")
+        if tuple(op_names) != self._EXPECTED_OPS:
+            raise RuntimeError("surface-op order mismatch vs C enum")
+        self._one_idx = int(one_idx)
+        lens = [len(t) for t in leaf_tapes]
+        self._leaf_len = np.array(lens, dtype=np.int64)
+        self._leaf_off = np.concatenate(
+            ([0], np.cumsum(self._leaf_len[:-1]))).astype(np.int64) \
+            if lens else np.zeros(0, np.int64)
+        self._leaf_rows = (np.concatenate(
+            [np.asarray(t.rows, np.int32) for t in leaf_tapes])
+            if lens else np.zeros((0, 3), np.int32))
+        self._leaf_rows = np.ascontiguousarray(self._leaf_rows, np.int32)
+        self._n_leaves = len(lens)
+
+    def build_batch(self, u_op: np.ndarray, u_a: np.ndarray,
+                    u_b: np.ndarray, uids: np.ndarray,
+                    max_len: int) -> Optional[Tuple[np.ndarray,
+                                                    np.ndarray]]:
+        """(padded_tapes [n, max_len, 3], lengths [n]) or None when a
+        tape exceeds max_len (caller retries bigger / falls back)."""
+        uids = np.ascontiguousarray(uids, dtype=np.int64)
+        n = uids.size
+        out = np.zeros((n, max_len, 3), dtype=np.int32)
+        lens = np.empty(n, dtype=np.int64)
+        u_op = np.ascontiguousarray(u_op, np.int16)
+        u_a = np.ascontiguousarray(u_a, np.int32)
+        u_b = np.ascontiguousarray(u_b, np.int32)
+        r = self._core.tm_build_batch(
+            _as_ptr(u_op, ct.c_int16), _as_ptr(u_a, ct.c_int32),
+            _as_ptr(u_b, ct.c_int32),
+            _as_ptr(self._leaf_rows, ct.c_int32),
+            _as_ptr(self._leaf_off, ct.c_int64),
+            _as_ptr(self._leaf_len, ct.c_int64),
+            ct.c_int64(self._n_leaves), ct.c_int32(self._one_idx),
+            _as_ptr(uids, ct.c_int64), ct.c_int64(n),
+            _as_ptr(out, ct.c_int32), ct.c_int64(max_len),
+            _as_ptr(lens, ct.c_int64))
+        if r != 0:
+            return None
+        return out, lens
 
 
 class ExprArena:

@@ -220,3 +220,28 @@ def test_c_jet_oracle_matches_numpy():
         # atol floor: catastrophic-cancellation coefficients near 1e-16
         # amplify 1-ulp libm-vs-numpy transcendental differences
         np.testing.assert_allclose(out[m], ref[m], rtol=1e-12, atol=5e-15)
+
+
+@needs_native
+def test_tape_builder_matches_python_composition(tmp_path):
+    """C tape materializer (tm_build_batch) must produce byte-identical
+    tapes to the Python apply_unary/apply_binary composition for every
+    registered unique (all 17 surface ops exercised at depth 3)."""
+    from pde_engine_tpu.models import load_problem
+    from pde_engine_tpu.pipeline import DiscoveryEngine
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    p = load_problem("force_free")
+    eng = DiscoveryEngine(p, SearchConfig(max_depth=3, use_native=True))
+    eng.run(3)
+    enum = eng.enumerator
+    n = enum.count_uniques()
+    assert enum._tape_builder() is not None and enum._tape_builder() \
+        is not False
+    uids = np.arange(n, dtype=np.int64)
+    arr, lens = enum.tapes_batch(uids)
+    for u in range(n):
+        want = enum.unique_at(u).tape
+        got = arr[u, :int(lens[u])]
+        np.testing.assert_array_equal(got, np.asarray(want.rows),
+                                      err_msg=enum.expr_str_of(u))
