@@ -25,6 +25,96 @@ import time
 import numpy as np
 
 
+def bench_mesh(n_devices: int, batch_size: int = 16384,
+               seed_depth: int = 3):
+    """Mesh-scaling bench: the depth-(seed_depth+1) candidate stream
+    through the production shard_mapped op kernel
+    (incremental.make_op_kernel_sharded — compact verdicts, psum'd
+    survivor count) over an ``n_devices`` virtual-CPU mesh.
+
+    Absolute numbers on virtual CPU devices are NOT chip numbers (and on
+    a single-core host the devices share one core — the interesting
+    output is that the sharded path runs the identical stream and the
+    per-device work drops 1/N); the single-chip TPU number remains the
+    headline metric (default mode)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    import jax.numpy as jnp
+
+    from pde_engine_tpu.models import load_problem
+    from pde_engine_tpu.parallel.incremental import make_op_kernel_sharded
+    from pde_engine_tpu.parallel.mesh import (candidate_mesh, replicated,
+                                              shard_batch)
+    from pde_engine_tpu.pipeline import DiscoveryEngine
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    assert batch_size % n_devices == 0
+    problem = load_problem("force_free")
+    eng = DiscoveryEngine(problem, SearchConfig(
+        max_depth=seed_depth, use_pallas=False, use_segmented=False))
+    eng.run(seed_depth)
+
+    mesh = candidate_mesh(n_devices)
+    cache_s = jax.device_put(eng.cache.screen, replicated(mesh))
+    cache_f = jax.device_put(eng.cache.fp, replicated(mesh))
+    spoints = jax.device_put(
+        jnp.asarray(problem.screen_points, jnp.float32), replicated(mesh))
+    fpoints = jax.device_put(
+        jnp.asarray(problem.fingerprint_points, jnp.float32),
+        replicated(mesh))
+    kw = dict(order=problem.residual_order,
+              residual_key=problem.get_residual_key(),
+              screen_rtol=float(problem.screen_rtol),
+              n_screen=len(problem.screen_points),
+              n_fp=len(problem.fingerprint_points))
+
+    batches = []
+    total = 0
+    for op_name, a_u, b_u in eng.enumerator.vector_batches_at_depth(
+            seed_depth + 1, batch_size, max_parent_uid=eng.cache.n):
+        n = int(a_u.size)
+        total += n
+        ab = np.zeros((batch_size, 2), np.int32)  # one shape: one compile
+        ab[:n, 0] = a_u
+        if b_u is not None:
+            ab[:n, 1] = b_u
+        batches.append((op_name, jax.device_put(jnp.asarray(ab),
+                                                shard_batch(mesh))))
+    kernels = {op: make_op_kernel_sharded(mesh, op, **kw)
+               for op in {b[0] for b in batches}}
+
+    # warm-up (compile), then best-of-3 timed sweeps fenced once
+    _ = np.asarray(kernels[batches[0][0]](
+        cache_s, cache_f, batches[0][1], spoints, fpoints)[3])
+    dt = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        fences = []
+        for op_name, ab_d in batches:
+            packed, _, _, n_pass = kernels[op_name](
+                cache_s, cache_f, ab_d, spoints, fpoints)
+            fences.append(n_pass)
+        _ = np.asarray(jnp.stack(fences).sum())
+        rep_dt = time.perf_counter() - t0
+        dt = rep_dt if dt is None else min(dt, rep_dt)
+
+    per_sec = total / dt
+    print(json.dumps({
+        "metric": "mesh_sharded_validations_per_sec",
+        "value": round(per_sec, 1),
+        "unit": "validations/s",
+        "vs_baseline": round(per_sec / 50.0, 1),
+        "detail": {
+            "n_devices": n_devices,
+            "backend": "cpu-virtual",
+            "candidates_timed": total,
+            "seconds": round(dt, 3),
+            "depth_timed": seed_depth + 1,
+        },
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -40,7 +130,8 @@ def main():
 
     enable_compile_cache()
 
-    seed_depth = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seed_depth = int(args[0]) if args else 3
     batch_size = 262144
     use_pallas = jax.default_backend() != "cpu"
 
@@ -222,4 +313,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--devices" in sys.argv:
+        bench_mesh(int(sys.argv[sys.argv.index("--devices") + 1]))
+    else:
+        main()

@@ -104,14 +104,17 @@ def make_op_kernel_multihost(mesh, op_name: str, order: int,
     from .mesh import CANDIDATE_AXIS
 
     raw = make_universal_kernel_raw(order, residual_key, screen_rtol,
-                                    n_screen, n_fp)
+                                    n_screen, n_fp, compact=True)
     op_id = jnp.asarray(OP_INDEX[op_name], jnp.int32)
 
     def step(cache_screen, cache_fp, ab_idx, spoints, fpoints):
         packed, out_s, out_f = raw(cache_screen, cache_fp, ab_idx, op_id,
                                    spoints, fpoints)
-        n_pass = jax.lax.psum(jnp.sum(packed[:, 0].astype(jnp.int32)),
-                              CANDIDATE_AXIS)
+        # compact layout: col 2 bit 0 is screen_ok (12 B/candidate on
+        # the wire instead of 108 B — see incremental.py)
+        n_pass = jax.lax.psum(
+            jnp.sum((packed[:, 2] & jnp.uint32(1)).astype(jnp.int32)),
+            CANDIDATE_AXIS)
         # tiled=True keeps the candidate axis order: shard k's rows land
         # at [k*shard : (k+1)*shard], matching the host's batch order
         packed = jax.lax.all_gather(packed, CANDIDATE_AXIS, axis=0,

@@ -239,15 +239,20 @@ def _make_universal_kernel_sharded(mesh, order: int, residual_key: str,
 
     from .mesh import CANDIDATE_AXIS
 
+    # compact 12 B/candidate verdict packing on the mesh path too —
+    # round 2 left the mesh kernels on the 108 B full packing, re-
+    # inheriting the transfer cost the single-chip path had eliminated
+    # (VERDICT round 2 weak #7)
     raw = make_universal_kernel_raw(order, residual_key, screen_rtol,
-                                    n_screen, n_fp)
+                                    n_screen, n_fp, compact=True)
 
     def step(cache_screen, cache_fp, ab_idx, op_id, spoints, fpoints):
         packed, out_s, out_f = raw(cache_screen, cache_fp, ab_idx, op_id,
                                    spoints, fpoints)
-        # packed[:, 0] is the screen_ok column (search.pack_screen_result)
-        n_pass = jax.lax.psum(jnp.sum(packed[:, 0].astype(jnp.int32)),
-                              CANDIDATE_AXIS)
+        # compact layout: col 2 bit 0 is screen_ok (search.py)
+        n_pass = jax.lax.psum(
+            jnp.sum((packed[:, 2] & jnp.uint32(1)).astype(jnp.int32)),
+            CANDIDATE_AXIS)
         return packed, out_s, out_f, n_pass
 
     sharded = shard_map(
@@ -299,7 +304,7 @@ def _make_universal_kernel_uidrange(mesh, order: int, residual_key: str,
     from .mesh import CANDIDATE_AXIS
 
     raw = make_universal_kernel_raw(order, residual_key, screen_rtol,
-                                    n_screen, n_fp)
+                                    n_screen, n_fp, compact=True)
     ndev = mesh.devices.size
 
     def step(cache_s_l, cache_f_l, ab_idx, op_id, spoints, fpoints):
@@ -332,8 +337,9 @@ def _make_universal_kernel_uidrange(mesh, order: int, residual_key: str,
         packed, out_s, out_f = _apply_raw_on_rows(
             raw, my(a_s), my(a_f), my(b_s), my(b_f), op_id,
             spoints, fpoints)
-        n_pass = jax.lax.psum(jnp.sum(packed[:, 0].astype(jnp.int32)),
-                              CANDIDATE_AXIS)
+        n_pass = jax.lax.psum(
+            jnp.sum((packed[:, 2] & jnp.uint32(1)).astype(jnp.int32)),
+            CANDIDATE_AXIS)
         return packed, out_s, out_f, n_pass
 
     sharded = shard_map(

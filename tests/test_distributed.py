@@ -75,7 +75,8 @@ def test_multihost_kernel_matches_single_device():
     spts = jnp.asarray(problem.screen_points, jnp.float32)
     fpts = jnp.asarray(problem.fingerprint_points, jnp.float32)
 
-    packed_1, out_s1, out_f1 = make_op_kernel("mul", **kw)(
+    packed_1, out_s1, out_f1 = make_op_kernel("mul", compact=True,
+                                              **kw)(
         cache_s, cache_f, jnp.asarray(ab), spts, fpts)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -89,4 +90,4 @@ def test_multihost_kernel_matches_single_device():
                                   np.asarray(packed_1))
     np.testing.assert_array_equal(np.asarray(out_sm), np.asarray(out_s1))
     np.testing.assert_array_equal(np.asarray(out_fm), np.asarray(out_f1))
-    assert int(n_pass) == int(np.asarray(packed_1)[:, 0].sum())
+    assert int(n_pass) == int((np.asarray(packed_1)[:, 2] & 1).sum())

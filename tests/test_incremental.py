@@ -150,7 +150,8 @@ def test_uidrange_sharded_kernel_matches_unsharded():
               n_screen=P_, n_fp=F)
     mesh = candidate_mesh(8)
     for op_name in ("mul", "div", "neg", "geom_sum"):
-        ref_packed, ref_s, ref_f = make_op_kernel(op_name=op_name, **kw)(
+        ref_packed, ref_s, ref_f = make_op_kernel(
+            op_name=op_name, compact=True, **kw)(
             cache_s, cache_f, ab, sp, fp)
         packed, out_s, out_f, n_pass = make_op_kernel_uidrange(
             mesh, op_name, **kw)(cache_s, cache_f, ab, sp, fp)
@@ -158,4 +159,5 @@ def test_uidrange_sharded_kernel_matches_unsharded():
                                       np.asarray(packed))
         np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(out_s))
         np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(out_f))
-        assert int(n_pass) == int(np.asarray(ref_packed)[:, 0].sum())
+        assert int(n_pass) == int(
+            (np.asarray(ref_packed)[:, 2] & 1).sum())
