@@ -201,12 +201,16 @@ class DiscoveryRun:
             classify_novel=(len(self.engine.valid_rows)
                             <= self.config.novel_class_limit),
             # engine stats are authoritative when reject rows were not
-            # persisted (audit_rejects=0); otherwise SQL aggregates
+            # persisted (audit_rejects=0) and on non-writer hosts, whose
+            # read-only view of the shared DB races the writer's inserts
+            # (a mid-run snapshot under-counts); otherwise SQL aggregates
             by_depth_counts=(
-                self.db.depth_counts() if self.config.audit_rejects
+                self.db.depth_counts()
+                if (self.config.audit_rejects and self.is_writer)
                 else {s.depth: {"generated": s.unique, "valid": s.valid}
                       for s in self.engine.stats}),
-            valid_rows=self.db.rows("is_valid=1"))
+            valid_rows=(self.db.rows("is_valid=1") if self.is_writer
+                        else list(self.engine.valid_rows)))
         report["wall_seconds"] = time.time() - t_start
         report["device_seconds"] = self.engine.device_seconds
         report["candidates_screened"] = self.engine.candidates_screened
