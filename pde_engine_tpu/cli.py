@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "PDE_ENGINE_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID "
                         "or rely on pod auto-detection) and shard over the "
                         "global mesh")
+    p.add_argument("--shard-registry", action="store_true",
+                   help="With --multihost: shard the host-side registry "
+                        "across processes — each host's dedup map holds "
+                        "only its slice of the key space and display "
+                        "strings/reject rows live on the writer host "
+                        "only, so per-host RAM scales down with the pod")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR "
                         "(view with TensorBoard / xprof)")
@@ -116,6 +122,7 @@ def main(argv=None) -> int:
                           or args.mode == "sequential"),
         defer_heavy_checks=not args.heavy_checks,
         audit_rejects=not args.no_audit_rejects,
+        shard_registry=args.shard_registry,
     )
     if args.max_cache_rows is not None:
         config.max_cache_rows = args.max_cache_rows

@@ -318,19 +318,21 @@ class Enumerator:
         keeping the strings in the registry (final-depth uniques never
         become parents; their strings live only in the emitted DB rows) —
         they can still be rebuilt on demand from the SoA structure.
-        ``arena_strings=False`` additionally skips composing them into
-        the native arena (no-audit final depth: nothing reads them —
-        ~50 GB of a 3.8e8-unique depth-6 registry); the arena tail is
-        repaired in uid order by _ensure_strings if the run is later
-        extended deeper."""
+        ``arena_strings=False`` means NOTHING will read this batch's
+        strings (no-audit final depth; non-writer hosts of a
+        sharded-registry run): composition is skipped entirely — native
+        arena and Python-list paths alike — saving ~50 GB of a
+        3.8e8-unique depth-6 registry; strings regenerate from structure
+        on demand, and the arena tail is repaired in uid order by
+        _ensure_strings if the run is later extended deeper."""
         n = int(a_u.size)
         # a former final depth may have dropped its strings; if this call
         # needs to READ them (Python-list composition, or arena
-        # composition from parent bytes), repair first.  A no-audit
-        # final-depth batch (arena_strings=False) reads nothing — skip
-        # the repair so resumed mega-runs never rebuild dropped strings.
-        if self._dropped_string_depths and (self.arena is None
-                                            or arena_strings):
+        # composition from parent bytes), repair first.  A batch with
+        # arena_strings=False (no-audit final depth, or a non-writer host
+        # of a sharded-registry run) reads nothing — skip the repair so
+        # mega-runs never rebuild dropped strings.
+        if self._dropped_string_depths and arena_strings:
             self._ensure_strings(depth)
         uid0 = self._next_uid
         self._next_uid += n
@@ -395,6 +397,14 @@ class Enumerator:
                                         a_u, b_u)
             _extend_none(es, n)
             _extend_none(ws, n)
+            return uid0, None
+        if not arena_strings:
+            # Python-list path with nothing reading the strings (non-writer
+            # host of a sharded-registry run): skip composition entirely —
+            # they regenerate from structure on demand (expr_str_of)
+            _extend_none(es, n)
+            _extend_none(ws, n)
+            self._dropped_string_depths.add(depth)
             return uid0, None
         if unary:
             pre = op_name + "("

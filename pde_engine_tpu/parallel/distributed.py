@@ -70,6 +70,33 @@ def is_writer() -> bool:
     return jax.process_index() == 0
 
 
+def registry_shard() -> tuple:
+    """(rank, world) for host-registry sharding (SearchConfig
+    .shard_registry): which slice of the dedup-key space this process
+    owns.  (0, 1) when not distributed."""
+    import jax
+    return jax.process_index(), jax.process_count()
+
+
+def or_reduce_mask(mask: np.ndarray) -> np.ndarray:
+    """Element-wise OR of a boolean mask across all host processes.
+
+    Used by the sharded-registry dedup exchange: host h marks True at
+    batch positions that are NEW and OWNED by h; ownership partitions the
+    positions, so the OR is a disjoint union and every host recovers the
+    identical global first-occurrence mask.  One uint8 all-gather per
+    ingest batch (n bytes/host) riding the same ICI/DCN fabric as the
+    verdict all-gather — negligible next to the batch's device compute.
+    """
+    import jax
+    if jax.process_count() <= 1:
+        return mask
+    from jax.experimental import multihost_utils
+    stacked = multihost_utils.process_allgather(
+        mask.astype(np.uint8))
+    return np.asarray(stacked).any(axis=0)
+
+
 def global_candidate_mesh():
     """1-D mesh over every chip of every host (candidate axis)."""
     import jax

@@ -210,6 +210,19 @@ class DiscoveryEngine:
             # the 2/3 load factor
             cap_hint=(1 << 26) if _jx.default_backend() != "cpu"
             else (1 << 16))
+        # Host-registry sharding (SearchConfig.shard_registry): in a
+        # multi-process run each host's dedup map holds only the keys it
+        # owns (key mod world), and verdict persistence (strings, reject
+        # rows, gray f64 rechecks) runs only on the writer host — the
+        # non-writers' job is keeping the replicated SoA registry and the
+        # device cache in lockstep.
+        self._reg_rank, self._reg_world = 0, 1
+        self.persist_host = True
+        if self.config.shard_registry and mesh is not None:
+            from .parallel.distributed import is_writer, registry_shard
+            self._reg_rank, self._reg_world = registry_shard()
+            if self._reg_world > 1:
+                self.persist_host = is_writer()
         # reject-row sink writing straight into the run DB via the native
         # sqlite writer; set by DiscoveryRun when a run DB exists
         self.native_sink = None
@@ -580,6 +593,37 @@ class DiscoveryEngine:
         self.cache.append_gathered(out_s, out_f, jnp.asarray(idx),
                                    real_rows=k)
 
+    def _dedup_sharded(self, keys: np.ndarray, base_uid: int) -> np.ndarray:
+        """Sharded-registry dedup (SearchConfig.shard_registry): this host
+        probes/stores ONLY the keys it owns (key mod world), the per-host
+        new-key masks are OR-combined across processes (ownership
+        partitions the batch positions, so the union is disjoint), and
+        every host derives the SAME global first-occurrence set — uids
+        stay consecutive in batch order exactly like the unsharded
+        insert_batch.  The host then rewrites its owned new keys'
+        provisional uids with the global assignment.
+
+        RAM effect: the dedup map (~24 B/unique, the largest host
+        structure after the string arena) shrinks by the process count;
+        the exchanged mask is n bits/batch."""
+        from .parallel.distributed import or_reduce_mask
+        n = keys.size
+        world = np.uint64(self._reg_world)
+        rank = np.uint64(self._reg_rank)
+        mine = np.nonzero(keys % world == rank)[0]
+        local_new = self.fp_to_uid.insert_batch(keys[mine], base_uid=0)
+        my_new = mine[local_new]
+        mask = np.zeros(n, np.bool_)
+        mask[my_new] = True
+        gmask = or_reduce_mask(mask)
+        new_idx = np.nonzero(gmask)[0].astype(np.int64)
+        if my_new.size:
+            # global uid of an owned new key = base + its rank in new_idx
+            pos = np.searchsorted(new_idx, my_new)
+            self.fp_to_uid.set_batch(keys[my_new],
+                                     base_uid + pos.astype(np.int64))
+        return new_idx
+
     def _ingest_vec(self, op_name: str, a_u: np.ndarray,
                     b_u: Optional[np.ndarray], sr: ScreenResult,
                     depth: int, st: DepthStats, on_row=None,
@@ -615,24 +659,30 @@ class DiscoveryEngine:
             # keys get consecutive uids in batch order; the dict fallback
             # reproduces the same semantics via np.unique + filter)
             enum = self.enumerator
-            new_idx = self.fp_to_uid.insert_batch(
-                keys, base_uid=enum.count_uniques())
+            if self._reg_world > 1:
+                new_idx = self._dedup_sharded(keys, enum.count_uniques())
+            else:
+                new_idx = self.fp_to_uid.insert_batch(
+                    keys, base_uid=enum.count_uniques())
         if new_idx.size == 0:
             return
         k_new = int(new_idx.size)
 
+        persist = self.persist_host
         with _Section("register"):
             uid0, exprs = enum.add_uniques_bulk(
                 op_name, a_u[new_idx],
                 None if b_u is None else b_u[new_idx], depth,
-                retain_strings=retain_strings,
+                retain_strings=retain_strings and persist,
                 # no-audit final depth: nothing reads these strings —
                 # skip composing them into the arena entirely (they
                 # regenerate from structure on demand; ~50 GB of a
-                # depth-6 registry, PERF roadmap #2)
-                arena_strings=(self.config.audit_rejects
-                               or retain_strings))
-            if (exprs is None and self.native_sink is None
+                # depth-6 registry, PERF roadmap #2).  Non-writer hosts
+                # of a sharded-registry run never read them either.
+                arena_strings=(persist
+                               and (self.config.audit_rejects
+                                    or retain_strings)))
+            if (persist and exprs is None and self.native_sink is None
                     and self.config.audit_rejects):
                 # arena-backed strings, but no native sink to read them:
                 # materialize Python strings for the Row/tuple paths
@@ -641,6 +691,19 @@ class DiscoveryEngine:
                 exprs = [s.decode() for s in blob.split(b"\x00")[:-1]]
         newkeys = keys[new_idx]
         st.unique += k_new
+
+        if not persist:
+            # non-writer host of a sharded-registry run: verdict
+            # persistence (reject rows, gray f64 rechecks, valid rows) is
+            # the writer's job — uid assignment and the device cache do
+            # not depend on it.  Count rows so heartbeat totals stay
+            # meaningful, then fall through to the cache append.
+            self.n_rows += k_new
+            with _Section("cache_append"):
+                self._append_cache_section(out_s, out_f, k_new,
+                                           new_idx, append_cache,
+                                           defer_append_to, row_offset)
+            return
 
         with _Section("verdicts"):
             # vectorized verdict classification
@@ -675,22 +738,29 @@ class DiscoveryEngine:
                         self._gray.append((u, ev, key))
 
         with _Section("cache_append"):
-            if out_s is not None and k_new and append_cache:
-                if defer_append_to is not None:
-                    # segmented superbatch: one fused append per dispatch
-                    # instead of one per op segment (uid order preserved —
-                    # segments ingest in superbatch order)
-                    defer_append_to.extend(
-                        (new_idx + row_offset).tolist())
-                else:
-                    # HBM budget: append only the uid-prefix that fits
-                    # (uids are consecutive in batch order, so the cache
-                    # invariant rows == uids [0, cache.n) survives a
-                    # partial append)
-                    room = self.config.max_cache_rows - self.cache.n
-                    if room > 0:
-                        self._append_kept(out_s, out_f,
-                                          new_idx[:room].tolist())
+            self._append_cache_section(out_s, out_f, k_new, new_idx,
+                                       append_cache, defer_append_to,
+                                       row_offset)
+
+    def _append_cache_section(self, out_s, out_f, k_new: int,
+                              new_idx: np.ndarray, append_cache: bool,
+                              defer_append_to, row_offset: int):
+        if out_s is None or not k_new or not append_cache:
+            return
+        if defer_append_to is not None:
+            # segmented superbatch: one fused append per dispatch
+            # instead of one per op segment (uid order preserved —
+            # segments ingest in superbatch order)
+            defer_append_to.extend((new_idx + row_offset).tolist())
+        else:
+            # HBM budget: append only the uid-prefix that fits
+            # (uids are consecutive in batch order, so the cache
+            # invariant rows == uids [0, cache.n) survives a
+            # partial append)
+            room = self.config.max_cache_rows - self.cache.n
+            if room > 0:
+                self._append_kept(out_s, out_f,
+                                  new_idx[:room].tolist())
 
     _R_CONST = "Zero gradient (constant expression)"
     _R_NONFIN = "Non-finite on safe domain (rejected)"

@@ -350,22 +350,31 @@ class DiscoveryRun:
         from the structure (Enumerator.register_from_struct_compose).
         Reference resume contract: general_method_paper_reproduction.py:
         973-1107 (drain exactly the pending remainder)."""
-        if not self.is_writer:
-            return
         eng = self.engine
         enum = eng.enumerator
         n = enum.count_uniques()
         if n == 0:
             return
-        if len(eng.fp_to_uid) != n:
+        sharded = getattr(eng, "_reg_world", 1) > 1
+        if sharded:
+            # every host persists the key slice it owns (the writer's map
+            # holds only its own slice); the writer's main sidecar below
+            # records keys_sharded so resume merges the shard files
+            self._save_keys_shard(n)
+        if not self.is_writer:
+            return
+        if not sharded and len(eng.fp_to_uid) != n:
             # key↔uid no longer 1:1 (should not happen; refuse to write a
             # sidecar that would resume wrongly)
             self._log(f"  [registry sidecar skipped: {len(eng.fp_to_uid)} "
                       f"keys != {n} uniques]")
             return
-        ks, vs = eng.fp_to_uid.items_arrays()
-        keys = np.zeros(n, np.uint64)
-        keys[vs] = ks
+        if sharded:
+            keys = np.zeros(0, np.uint64)  # lives in the per-host shards
+        else:
+            ks, vs = eng.fp_to_uid.items_arrays()
+            keys = np.zeros(n, np.uint64)
+            keys[vs] = ks
         d1 = enum.uid_array(1)
         k = int(d1.size)
         if not (np.array_equal(d1, np.arange(k, dtype=d1.dtype))
@@ -382,8 +391,59 @@ class DiscoveryRun:
                      keys=keys, d1_exprs=d1_exprs,
                      completed_depth=np.int64(completed_depth),
                      cache_n=np.int64(eng.cache.n),
-                     n_rows=np.int64(eng.n_rows))
+                     n_rows=np.int64(eng.n_rows),
+                     keys_sharded=np.int64(
+                         getattr(eng, "_reg_world", 1)
+                         if getattr(eng, "_reg_world", 1) > 1 else 0))
         os.replace(tmp, self._registry_path)
+
+    def _keys_shard_path(self, rank: int) -> str:
+        return self.db_path + f".registry.keys.{rank}.npz"
+
+    def _save_keys_shard(self, n: int):
+        """Persist this host's owned slice of the dedup keys (uids +
+        uint64 keys).  Ownership = key mod world, so every key — including
+        the depth-1 keys every host carries in full — lands in exactly one
+        shard file; merged at resume by :meth:`_load_sharded_keys`."""
+        eng = self.engine
+        ks, vs = eng.fp_to_uid.items_arrays()
+        world = np.uint64(eng._reg_world)
+        own = (ks % world) == np.uint64(eng._reg_rank)
+        ks, vs = ks[own], vs[own]
+        path = self._keys_shard_path(eng._reg_rank)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, keys=ks, uids=vs.astype(np.int64),
+                     world=np.int64(eng._reg_world))
+        os.replace(tmp, path)
+
+    def _load_sharded_keys(self, n: int) -> np.ndarray:
+        """Merge the per-host key shard files into the full uid-ordered
+        key array.  Raises when the shards do not cover every uid —
+        resuming from an inconsistent sidecar would mis-dedup."""
+        keys = np.zeros(n, np.uint64)
+        seen = np.zeros(n, np.bool_)
+        rank = 0
+        found = 0
+        while True:
+            path = self._keys_shard_path(rank)
+            if not os.path.exists(path):
+                break
+            with np.load(path) as z:
+                uids = z["uids"]
+                m = uids < n          # a shard may be newer than the
+                uids = uids[m]        # sidecar by part of one barrier
+                keys[uids] = z["keys"][m]
+                seen[uids] = True
+                found += int(uids.size)
+            rank += 1
+        if not bool(seen.all()):
+            raise RuntimeError(
+                f"registry key shards ({rank} files, {found} keys) do not "
+                f"cover all {n} uniques of {self._registry_path}; cannot "
+                "resume a sharded-registry run from an inconsistent "
+                "sidecar")
+        return keys
 
     def _load_registry_sidecar(self):
         path = self._registry_path
@@ -420,6 +480,17 @@ class DiscoveryRun:
         """Rebuild engine state from the run DB and continue at the next
         depth (reference --resume-run, general:973-1107 — but since our
         rows are validated inline, resume means resuming *generation*)."""
+        if mesh is not None:
+            try:
+                import jax
+                if jax.process_count() > 1:
+                    # barrier: the writer may still be flushing the
+                    # sidecar/DB from a just-finished run — every host
+                    # must see the same completed state before rebuilding
+                    from jax.experimental import multihost_utils
+                    multihost_utils.sync_global_devices("pde-resume")
+            except Exception:
+                pass
         self = cls(problem_name, config, run_id=run_id, db_path=db_path,
                    mesh=mesh, verbose=verbose)
         state = self.db.load_generator_state() or {}
@@ -619,20 +690,32 @@ class DiscoveryRun:
             a_arr = np.asarray(reg["a"][k:], np.int32)
             b_arr = np.asarray(reg["b"][k:], np.int32)
             d_arr = np.asarray(reg["depth"][k:], np.int16)
-            if self.config.audit_rejects:
+            if self.config.audit_rejects and eng.persist_host:
                 enum.register_from_struct_compose(op_ids, a_arr, b_arr,
                                                   d_arr)
             else:
-                # no-audit resume: nothing reads composed display strings
-                # (reject rows are never emitted; valid rows and display
-                # snippets rebuild theirs lazily from structure) — skip
-                # regenerating ~50 GB of strings for a depth-6 registry
+                # no-audit resume (or the non-writer host of a
+                # sharded-registry run): nothing reads composed display
+                # strings (reject rows are never emitted; valid rows and
+                # display snippets rebuild theirs lazily from structure) —
+                # skip regenerating ~50 GB of strings for a depth-6
+                # registry
                 enum.register_from_struct(op_ids, a_arr, b_arr, d_arr,
                                           exprs=None)
                 for d in np.unique(d_arr).tolist():
                     enum._dropped_string_depths.add(int(d))
-        eng.fp_to_uid.set_batch(np.asarray(reg["keys"], np.uint64),
-                                np.arange(n, dtype=np.int64))
+        if int(reg.get("keys_sharded", 0)) > 1:
+            all_keys = self._load_sharded_keys(n)
+        else:
+            all_keys = np.asarray(reg["keys"], np.uint64)
+        uids = np.arange(n, dtype=np.int64)
+        if getattr(eng, "_reg_world", 1) > 1:
+            # sharded resume: this host's map holds only its owned slice
+            own = (all_keys % np.uint64(eng._reg_world)) == np.uint64(
+                eng._reg_rank)
+            eng.fp_to_uid.set_batch(all_keys[own], uids[own])
+        else:
+            eng.fp_to_uid.set_batch(all_keys, uids)
         eng.n_rows = int(reg["n_rows"])
         for r in self.db.rows("is_valid=1 AND depth <= ?", (completed,)):
             eng.valid_rows.append(Row(

@@ -105,6 +105,18 @@ class SearchConfig:
     # report notes the elision.
     audit_rejects: bool = True
 
+    # Shard the host-side registry across processes in a multi-host run:
+    # each host's dedup map holds only the keys it owns (key mod
+    # process_count — ~24 B/unique becomes ~24/H), new-key verdicts are
+    # combined with one tiny all-gather per batch, and display strings /
+    # reject rows / gray f64 rechecks run ONLY on the writer host.  The
+    # structural SoA registry (op, a, b, depth + flags, ~16 B/unique)
+    # stays replicated — it is what enumeration reads.  Off by default:
+    # single-process runs gain nothing, and the replicated mode keeps
+    # every host's ingest byte-identical (the stronger invariant the
+    # 2-process determinism test asserts).
+    shard_registry: bool = False
+
     # Hard HBM budget for the device jet cache, in rows (~550 B/row at
     # order 4).  Mid-depth uniques beyond this cap are still screened,
     # stored, and deduplicated — they just never become PARENTS of deeper
