@@ -84,18 +84,28 @@ def bench_mesh(n_devices: int, batch_size: int = 16384,
     kernels = {op: make_op_kernel_sharded(mesh, op, **kw)
                for op in {b[0] for b in batches}}
 
-    # warm-up (compile), then best-of-3 timed sweeps fenced once
+    # warm-up (compile), then best-of-3 timed sweeps.  In-flight window
+    # of 2: XLA:CPU cross-module collectives have a hard rendezvous
+    # timeout (~60 s), and on a few-core host an unbounded dispatch queue
+    # lets one device partition run far ahead of the others until the
+    # laggard's all-reduce is declared stuck and the process aborts.  The
+    # window preserves dispatch/ingest overlap while bounding the skew to
+    # ~2 batches (real-TPU benches fence once at the end — ICI collectives
+    # execute in lockstep by construction).
     _ = np.asarray(kernels[batches[0][0]](
         cache_s, cache_f, batches[0][1], spoints, fpoints)[3])
     dt = None
     for _rep in range(3):
         t0 = time.perf_counter()
-        fences = []
+        window = []
         for op_name, ab_d in batches:
             packed, _, _, n_pass = kernels[op_name](
                 cache_s, cache_f, ab_d, spoints, fpoints)
-            fences.append(n_pass)
-        _ = np.asarray(jnp.stack(fences).sum())
+            window.append(n_pass)
+            if len(window) > 2:
+                _ = np.asarray(window.pop(0))
+        for n_pass in window:
+            _ = np.asarray(n_pass)
         rep_dt = time.perf_counter() - t0
         dt = rep_dt if dt is None else min(dt, rep_dt)
 
