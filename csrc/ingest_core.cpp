@@ -27,6 +27,29 @@
 #include <cstring>
 #include <ctime>
 
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
+// Allocate a big arena 2 MiB-aligned and ask for transparent huge pages
+// (hosts often run THP=madvise, where plain malloc gets 4 KiB pages):
+// the dedup map probes GBs of memory in hash order, and with 4 KiB pages
+// every probe is a TLB/EPT-walk miss — measured 0.9 s vs 10.3 s for the
+// same depth-4 dedup depending on whether the kernel happened to back
+// the arena with huge pages.  Sequential memset after the madvise both
+// pre-faults the pages and gives khugepaged nothing to collapse later.
+static inline void* arena_alloc(size_t bytes) {
+    const size_t align = 2u << 20;
+    size_t padded = (bytes + align - 1) / align * align;
+    void* p = aligned_alloc(align, padded);
+    if (!p) return nullptr;
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+    madvise(p, padded, MADV_HUGEPAGE);
+#endif
+    memset(p, 0, padded);
+    return p;
+}
+
 // ---------------------------------------------------------------------------
 // Minimal sqlite3 C API surface (libsqlite3.so.0 is linked directly; the
 // dev header is not installed in the image).
@@ -87,16 +110,13 @@ struct DedupMap {
         while (cap < cap_hint * 2) cap <<= 1;
         mask = cap - 1;
         size = 0;
-        // memset (sequential first-touch): keys pages must be faulted in
-        // up front, like the vals init loop below already does for vals.
-        // Probing writes keys in hash order, and on virtualized hosts a
-        // random-order demand-fault storm over an untouched multi-GB
-        // arena costs 10-30 us per page — measured 29 us/key for the
-        // first 600k inserts vs 1.2 us/key once resident.  Sequential
-        // first-touch also lets the kernel map transparent huge pages.
-        keys = (uint64_t*)malloc(cap * sizeof(uint64_t));
-        memset(keys, 0, cap * sizeof(uint64_t));
-        vals = (int64_t*)malloc(cap * sizeof(int64_t));
+        // arena_alloc: huge-page-madvised, 2 MiB-aligned, pre-faulted by
+        // a sequential memset.  Random-order demand faults measured
+        // 29 us/key for the first 600k inserts (vs 1.2 once resident),
+        // and 4 KiB-page TLB/EPT walks another ~10x on virtualized
+        // hosts — see arena_alloc.
+        keys = (uint64_t*)arena_alloc(cap * sizeof(uint64_t));
+        vals = (int64_t*)arena_alloc(cap * sizeof(int64_t));
         for (uint64_t i = 0; i < cap; ++i) vals[i] = -1;
     }
     ~DedupMap() {
@@ -110,9 +130,8 @@ struct DedupMap {
         int64_t* ov = vals;
         cap <<= 1;
         mask = cap - 1;
-        keys = (uint64_t*)malloc(cap * sizeof(uint64_t));
-        memset(keys, 0, cap * sizeof(uint64_t));  // see ctor: pre-fault
-        vals = (int64_t*)malloc(cap * sizeof(int64_t));
+        keys = (uint64_t*)arena_alloc(cap * sizeof(uint64_t));
+        vals = (int64_t*)arena_alloc(cap * sizeof(int64_t));
         for (uint64_t i = 0; i < cap; ++i) vals[i] = -1;
         for (uint64_t i = 0; i < old_cap; ++i) {
             if (ov[i] < 0) continue;
@@ -254,10 +273,16 @@ void* idb_open(const char* path, const char* table) {
                  s->db ? sqlite3_errmsg(s->db) : "?");
         return s;
     }
-    sqlite3_busy_timeout(s->db, 10000);
+    sqlite3_busy_timeout(s->db, 60000);  // see RunDB: 32 KiB-page
+    //                     checkpoints can hold the writer lock for seconds
     char* emsg = nullptr;
     sqlite3_exec(s->db, "PRAGMA journal_mode=WAL", nullptr, nullptr, &emsg);
     sqlite3_exec(s->db, "PRAGMA synchronous=NORMAL", nullptr, nullptr,
+                 &emsg);
+    // match RunDB (utils/db.py): a page cache big enough that the reject
+    // stream's b-tree pages never thrash — cache-miss re-reads were most
+    // of the writer thread's kernel time on virtualized hosts
+    sqlite3_exec(s->db, "PRAGMA cache_size=-262144", nullptr, nullptr,
                  &emsg);
     char sql[1024];
     snprintf(sql, sizeof(sql),

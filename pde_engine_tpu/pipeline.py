@@ -178,7 +178,9 @@ class DiscoveryEngine:
     def __init__(self, problem: Problem, config: Optional[SearchConfig] = None,
                  mesh=None):
         from .utils.compile_cache import enable_compile_cache
+        from .utils.hostmem import tune_allocator
         enable_compile_cache()
+        tune_allocator()
         import jax.numpy as jnp
         self.problem = problem
         self.config = config or SearchConfig()
