@@ -393,14 +393,19 @@ int64_t idb_emit_rejects(void* h, int64_t n, const int64_t* ids,
         sqlite3_stmt* st = s->stmt;
         sqlite3_bind_int64(st, 1, ids[i]);
         sqlite3_bind_text(st, 2, p, (int)elen, TEXT_STATIC);
-        sqlite3_bind_text(st, 3, p, (int)elen, TEXT_STATIC);
+        // normalized is NULL on reject rows: it always equals expression
+        // in this engine (documented schema deviation, utils/db.py) and
+        // duplicating it was ~25% of mega-run write volume — the depth-5
+        // reject stream is sqlite-write-bound on slow-I/O hosts
+        sqlite3_bind_null(st, 3);
         sqlite3_bind_text(st, 4, sig, 16, TEXT_TRANSIENT);
         sqlite3_bind_int(st, 5, depth);
         sqlite3_bind_text(st, 6, reason_ptr, reason_len, TEXT_STATIC);
-        if (math_len)
-            sqlite3_bind_text(st, 7, math_def, math_len, TEXT_STATIC);
-        else
-            sqlite3_bind_null(st, 7);
+        // validator_math is NULL on reject rows: it is a run-level
+        // constant (the problem's math definition), recorded in the
+        // generator state and on valid rows (see bind 3 note)
+        (void)math_len;
+        sqlite3_bind_null(st, 7);
         sqlite3_bind_text(st, 8, evidence, ev_len, TEXT_STATIC);
         if (struct_op >= 0) {
             sqlite3_bind_int(st, 9, struct_op);

@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force_free | kerr_magnetosphere | laplace | "
                         "grad_shafranov")
     p.add_argument("--max-depth", type=int, default=4)
-    p.add_argument("--batch-size", type=int, default=16384)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="candidates per device dispatch (default: auto — "
+                        "65536 on accelerators, 16384 on CPU)")
     p.add_argument("--validators", type=int, default=0,
                    help="(compat) ignored — validation is on-device")
     p.add_argument("--devices", type=int, default=None,

@@ -81,7 +81,9 @@ class Row:
     expressions_<run_id> table (general:655-678)."""
     id: int
     expression: str
-    normalized: str
+    # None on reject rows (normalized == expression by construction here;
+    # NULL saves ~25% of the sqlite-bound mega-run reject volume)
+    normalized: Optional[str]
     signature: str
     depth: int
     validation_status: str = "completed"
@@ -204,6 +206,12 @@ class DiscoveryEngine:
         # behind the same interface.
         from .utils.native import DedupMap
         import jax as _jx
+        if self.config.batch_size is None:
+            # auto (SearchConfig.batch_size): large batches amortize the
+            # per-dispatch round trip on real accelerators; small ones
+            # keep the CPU/test path snappy
+            self.config.batch_size = (65536 if _jx.default_backend()
+                                      != "cpu" else 16384)
         self.fp_to_uid = DedupMap(
             force_python=(self.config.use_native is False),
             # pre-size for mega-runs on real hardware: every rehash of a
@@ -842,7 +850,6 @@ class DiscoveryEngine:
                     math_def=self._math_def.encode())
                 self.n_rows += int(locs.size)
             return
-        md = self._math_def
         nsp = len(self.problem.screen_points)
         enum = self.enumerator
         s_op = int(enum.u_op[uid0]) if len(is_const) else -1
@@ -888,18 +895,23 @@ class DiscoveryEngine:
             sa = s_a[local]
             sb = s_b[local]
             if as_tuples:
-                # column order must match RunDB.flush's INSERT
-                ap((id0 + local, e, e, sig, depth, "completed", 0,
-                    reason, "screen", md, ev, 0, None, None, None,
+                # column order must match RunDB.flush's INSERT.
+                # normalized/validator_math are NULL on reject rows:
+                # normalized always equals expression in this engine and
+                # the math definition is a run-level constant — together
+                # they were ~40% of the sqlite-write-bound mega-run
+                # reject volume (documented deviation, utils/db.py)
+                ap((id0 + local, e, None, sig, depth, "completed", 0,
+                    reason, "screen", None, ev, 0, None, None, None,
                     None if s_op < 0 else s_op,
                     None if sa < 0 else sa,
                     None if sb < 0 else sb))
             else:
                 row = Row(
-                    id=id0 + local, expression=e, normalized=e,
+                    id=id0 + local, expression=e, normalized=None,
                     signature=sig, depth=depth, is_valid=False,
                     validation_reason=reason, validator_method="screen",
-                    validator_math=md, validator_evidence=ev,
+                    validator_math=None, validator_evidence=ev,
                     struct_op=None if s_op < 0 else s_op,
                     struct_a=None if sa < 0 else sa,
                     struct_b=None if sb < 0 else sb)
@@ -1116,7 +1128,9 @@ class DiscoveryEngine:
             # reloads uniques in id order and must reproduce the same uids)
             id=cand.uid + 1 + self.id_offset,
             expression=cand.expr_str,
-            normalized=cand.expr_str,
+            # reject rows store NULL normalized/validator_math (equal to
+            # expression / a run-level constant — see _emit_rejects_bulk)
+            normalized=cand.expr_str if is_valid else None,
             signature=sig,
             depth=depth,
             is_valid=is_valid,
@@ -1124,7 +1138,7 @@ class DiscoveryEngine:
             validator_method=method,
             is_paper_solution=known is not None,
             paper_solution_name=known,
-            validator_math=self._math_def,
+            validator_math=self._math_def if is_valid else None,
             validator_evidence=evidence,
             struct_op=None if s_op < 0 else s_op,
             struct_a=None if s_a < 0 else s_a,

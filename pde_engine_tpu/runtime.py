@@ -145,6 +145,9 @@ class DiscoveryRun:
                 "include_special_ops": self.config.include_special_ops,
                 "prune": self.config.prune,
                 "audit_rejects": self.config.audit_rejects,
+                # run-level constant; reject rows store NULL
+                # validator_math (see pipeline._emit_rejects_bulk)
+                "math_definition": self.engine._math_def,
                 # parent window at this barrier — resume must reproduce
                 # it exactly (deeper candidates compose only from cached
                 # parents, pipeline vector_batches_at_depth)
@@ -637,7 +640,7 @@ class DiscoveryRun:
             if bool(r["is_valid"]):
                 eng.valid_rows.append(Row(
                     id=int(r["id"]), expression=r["expression"],
-                    normalized=r["normalized"],
+                    normalized=r["normalized"] or r["expression"],
                     signature=r["signature"] or "",
                     depth=int(r["depth"]), is_valid=True,
                     validation_reason=r["validation_reason"] or "",
@@ -720,7 +723,7 @@ class DiscoveryRun:
         for r in self.db.rows("is_valid=1 AND depth <= ?", (completed,)):
             eng.valid_rows.append(Row(
                 id=int(r["id"]), expression=r["expression"],
-                normalized=r["normalized"],
+                normalized=r["normalized"] or r["expression"],
                 signature=r["signature"] or "",
                 depth=int(r["depth"]), is_valid=True,
                 validation_reason=r["validation_reason"] or "",

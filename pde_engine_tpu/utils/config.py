@@ -11,7 +11,14 @@ from typing import Optional, Tuple
 @dataclass
 class SearchConfig:
     max_depth: int = 4
-    batch_size: int = 16384
+    # Candidates per device dispatch (the segmented superbatch rounds it
+    # down to a 512-row tile multiple).  None = auto: 65536 on
+    # accelerator backends — each dispatch costs a fixed host round trip
+    # (~27 ms through the axon tunnel) so fewer, larger batches amortize
+    # it, and the kernel workspace is only ~2 KB/candidate — and 16384
+    # on CPU, where the XLA oracle path dominates and big batches just
+    # slow the test suite.
+    batch_size: Optional[int] = None
     include_special_ops: bool = True
     prune: bool = True
 

@@ -88,6 +88,13 @@ class RunDB:
         # one row per unique upstream (fingerprint dedup), and
         # ensure_indices() builds a plain normalized index at completion
         # for the readers' equality lookups.
+        #
+        # Documented deviation: REJECT rows store NULL for normalized
+        # (it always equals expression in this engine — COALESCE on
+        # read) and for validator_math (a run-level constant, recorded
+        # in generator_progress.state_json and on valid rows) — together
+        # they were ~40% of the sqlite-write-bound mega-run reject
+        # volume.  Valid rows keep both populated.
         c.execute(f"""
             CREATE TABLE IF NOT EXISTS {self.table} (
                 id INTEGER PRIMARY KEY,

@@ -245,3 +245,15 @@ def test_tape_builder_matches_python_composition(tmp_path):
         got = arr[u, :int(lens[u])]
         np.testing.assert_array_equal(got, np.asarray(want.rows),
                                       err_msg=enum.expr_str_of(u))
+
+
+def test_tune_allocator_idempotent():
+    """hostmem.tune_allocator applies glibc mallopt tuning (Linux) and is
+    safe to call repeatedly — pipeline calls it per-engine."""
+    import sys
+
+    from pde_engine_tpu.utils.hostmem import tune_allocator
+    first = tune_allocator()
+    assert tune_allocator() == first
+    if sys.platform.startswith("linux"):
+        assert first is True

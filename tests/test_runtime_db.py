@@ -151,14 +151,27 @@ def test_validator_evidence_persisted(outdir):
     run.run(2)
     conn = sqlite3.connect(run.db_path)
     rows = conn.execute(
-        f"SELECT validator_evidence, validator_math FROM "
+        f"SELECT validator_evidence, validator_math, is_valid FROM "
         f"{table_name_for(run.run_id)}").fetchall()
     assert rows
-    for ev_json, math in rows:
+    n_valid = 0
+    for ev_json, math, is_valid in rows:
         assert ev_json, "validator_evidence must be non-NULL"
         ev = json.loads(ev_json)
         assert "rel_max" in ev and "stage" in ev and "screen_ok" in ev
-        assert math, "validator_math must be non-NULL"
+        if is_valid:
+            n_valid += 1
+            assert math, "validator_math must be non-NULL on valid rows"
+        else:
+            # documented deviation (utils/db.py): reject rows store NULL
+            # validator_math — it is a run-level constant, kept on valid
+            # rows and in generator_progress.state_json
+            assert math is None
+    assert n_valid > 0
+    state, = conn.execute(
+        "SELECT state_json FROM generator_progress WHERE run_id=?",
+        (run.run_id,)).fetchone()
+    assert json.loads(state)["math_definition"]
     run.close()
 
 
