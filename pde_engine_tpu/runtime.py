@@ -39,8 +39,17 @@ class DiscoveryRun:
                         else load_problem(problem_name))
         self.config = config or SearchConfig()
         self.run_id = run_id or new_run_id()
-        out_dir = self.problem.get_output_dir()
-        self.db_path = db_path or db_path_for(out_dir, self.run_id)
+        # Report/certificate artifacts live next to the run DB: the
+        # problem's default outputs dir for default runs (reference
+        # behavior), or the explicit db_path's directory — so runs
+        # against a scratch DB (tests, /tmp mega-runs) don't litter the
+        # repo's problems/<name>/outputs/.
+        if db_path:
+            self.db_path = db_path
+            self.out_dir = os.path.dirname(os.path.abspath(db_path))
+        else:
+            self.out_dir = self.problem.get_output_dir()
+            self.db_path = db_path_for(self.out_dir, self.run_id)
         # Single-writer discipline (reference general:1109-1220): in a
         # multi-process run only process 0 owns the run DB, reports and
         # snapshot/sidecar files — every other host gets a read-through
@@ -217,7 +226,7 @@ class DiscoveryRun:
         report["wall_seconds"] = time.time() - t_start
         report["device_seconds"] = self.engine.device_seconds
         report["candidates_screened"] = self.engine.candidates_screened
-        paths = (write_report_files(report, self.problem.get_output_dir())
+        paths = (write_report_files(report, self.out_dir)
                  if self.is_writer else None)
         # total_generated = all candidates screened; total_validated =
         # stored (validated) rows — the reference's schema distinguishes
@@ -947,8 +956,7 @@ class DiscoveryRun:
             rows = sorted(rows, key=lambda r: len(r["expression"]))[:limit]
             self._log(f"certify: limited to the {limit} shortest of "
                       f"{len(self._scoped_rows(scope))} {scope} rows")
-        out = certify_rows(self.problem, rows,
-                           self.problem.get_output_dir(),
+        out = certify_rows(self.problem, rows, self.out_dir,
                            run_id=self.run_id)
         self._log(f"certify [{scope}]: {out['n']} certificates "
                   f"{out['counts']} -> {out['path']}")

@@ -137,8 +137,8 @@ def test_two_process_distributed_run(tmp_path):
     worker_py.write_text(WORKER)
 
     for pid in (0, 1):
-        (tmp_path / f"host{pid}").mkdir()  # separate cwds: report files
-        #                                    expose who wrote them
+        (tmp_path / f"host{pid}").mkdir()  # separate cwds: stray files
+        #                                    expose which process made them
 
     def attempt():
         port = _free_port()
@@ -183,12 +183,15 @@ def test_two_process_distributed_run(tmp_path):
         assert d0[key] == d1[key], key
     assert d0["uniques"] > 10 and len(d0["valid"]) > 0
 
-    # only process 0 wrote the run DB and report files
+    # only process 0 wrote the run DB and report files.  Reports land
+    # next to the explicit db_path (shared dir); had BOTH processes
+    # written them there would be two timestamped report sets.
     assert (shared / "mp.db").exists()
-    host0_reports = list((tmp_path / "host0").rglob("reproduction_*.json"))
-    host1_reports = list((tmp_path / "host1").rglob("reproduction_*.json"))
-    assert host0_reports, "writer must emit report files"
-    assert not host1_reports, "non-writer must not emit report files"
+    shared_reports = list(shared.rglob("reproduction_*.json"))
+    assert len(shared_reports) == 1, \
+        f"exactly one (writer-emitted) report set: {shared_reports}"
+    for pid in (0, 1):  # nothing stray in either worker cwd
+        assert not list((tmp_path / f"host{pid}").rglob("*.json"))
     host1_dbs = list((tmp_path / "host1").rglob("*.db"))
     assert not host1_dbs, "non-writer must not create a run DB"
 

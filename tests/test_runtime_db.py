@@ -73,6 +73,24 @@ def test_report_files_written(outdir):
     run.close()
 
 
+def test_report_files_follow_explicit_db_path(outdir):
+    """With an explicit db_path, reports land next to the DB — not in
+    the problem's default problems/<name>/outputs/ (which would litter
+    the repo when tests/mega-runs use scratch DBs)."""
+    sub = outdir / "scratch"
+    sub.mkdir()
+    run = DiscoveryRun("laplace", config=SearchConfig(max_depth=2),
+                       db_path=str(sub / "run.db"), verbose=False)
+    run.run(2)
+    run.close()
+    files = os.listdir(sub)
+    assert any(f.startswith("reproduction_") for f in files)
+    assert any(f.startswith("report_") for f in files)
+    default = run.problem.get_output_dir()
+    assert not any(f.startswith(("reproduction_", "report_"))
+                   for f in os.listdir(default))
+
+
 def test_resume_continues_and_matches_fresh(outdir):
     frun = _mk_run(depth=3)
     fresh = frun.run(3)
