@@ -101,6 +101,11 @@ class GradShafranovProblem(Problem):
             known_solutions={
                 "rho**2": "Vertical flux",
                 "rho**2*z": "X-point flux",
+                # depth 7 in the size-weighted vocabulary: binary depth
+                # adds (enumerator.vector_batches_at_depth), and the
+                # cheapest split is rho**4 (depth 3) - 4*rho**2*z**2
+                # (depth 4) — reachable by a depth-7 run, or verify
+                # directly via problem.validator.validate(...)
                 "rho**2*(rho**2 - 4*z**2)": "Quadratic Solovev-type",
             },
             screen_points=_L_SCREEN,
