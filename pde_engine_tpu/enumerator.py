@@ -532,18 +532,7 @@ class Enumerator:
             seg_b = b_u[lo:hi]
             unary = bool(seg_b[0] < 0)
             if self.arena is not None:
-                if unary:
-                    self.arena.add_bulk(name + "(", None, ")", seg_a, None)
-                else:
-                    fmt = ot.SURFACE_FORMAT.get(name)
-                    if fmt:
-                        p1, rest = fmt.split("{a}")
-                        mid, p2 = rest.split("{b}")
-                        self.arena.add_bulk(p1, mid, p2, seg_a, seg_b,
-                                            use_wrapped=True)
-                    else:
-                        self.arena.add_bulk(name + "(", ", ", ")",
-                                            seg_a, seg_b)
+                self._arena_compose_segment(name, seg_a, seg_b, unary)
                 continue
             es = self.expr_strs
             ws = self.wrapped_strs
@@ -568,6 +557,23 @@ class Enumerator:
                 ws[uid0 + lo + k] = s  # composed spellings self-wrap
         return uid0
 
+    def _arena_compose_segment(self, name: str, seg_a: np.ndarray,
+                               seg_b: np.ndarray, unary: bool):
+        """Append one same-op segment of composed display strings to the
+        native arena (parents' bytes are read in C; appends must arrive
+        in uid order)."""
+        if unary:
+            self.arena.add_bulk(name + "(", None, ")", seg_a, None)
+            return
+        fmt = ot.SURFACE_FORMAT.get(name)
+        if fmt:
+            p1, rest = fmt.split("{a}")
+            mid, p2 = rest.split("{b}")
+            self.arena.add_bulk(p1, mid, p2, seg_a, seg_b,
+                                use_wrapped=True)
+        else:
+            self.arena.add_bulk(name + "(", ", ", ")", seg_a, seg_b)
+
     def _drop_arena(self):
         """Abandon the native string arena: materialize every arena-backed
         string into plain Python lists, then continue on the Python path."""
@@ -586,13 +592,26 @@ class Enumerator:
         # arena tail repair first: depths registered with
         # arena_strings=False left the arena short of the registry; appends
         # must stay uid-aligned, so rebuild the whole contiguous tail in
-        # uid order before any new composition reads parent bytes
+        # uid order before any new composition reads parent bytes.  The
+        # tail holds composed uniques only (depth-1 registration always
+        # writes its string), so rebuild via the same batched same-op
+        # segment composition the forward path uses — per-uid recursive
+        # expr_str_of over a mega-run tail would take hours (round-3
+        # review finding).
         if self.arena is not None and len(self.arena) < self._next_uid:
-            CH = 1 << 16
-            for lo in range(len(self.arena), self._next_uid, CH):
-                hi = min(lo + CH, self._next_uid)
-                self.arena.add_raw(
-                    [self.expr_str_of(u) for u in range(lo, hi)])
+            lo0 = len(self.arena)
+            hi0 = self._next_uid
+            ops = self.u_op[lo0:hi0]
+            a_all = np.ascontiguousarray(self.u_a[lo0:hi0], np.int32)
+            b_all = np.ascontiguousarray(self.u_b[lo0:hi0], np.int32)
+            bounds = np.flatnonzero(np.diff(ops)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [hi0 - lo0]))
+            for lo, hi in zip(starts.tolist(), ends.tolist()):
+                name = self._op_names[int(ops[lo])]
+                self._arena_compose_segment(
+                    name, a_all[lo:hi], b_all[lo:hi],
+                    unary=bool(b_all[lo] < 0))
         for d in sorted(self._dropped_string_depths):
             if d >= below_depth:
                 continue

@@ -100,6 +100,8 @@ class DiscoveryRun:
     def run(self, max_depth: Optional[int] = None,
             start_depth: int = 1) -> Dict:
         max_depth = max_depth or self.config.max_depth
+        if start_depth == 1 and not hasattr(self, "_resume_start_depth"):
+            self._fresh_cleanup()
         self.db.start_run(max_depth)
         t_start = time.time()
         self._log(f"Run {self.run_id}: {self.problem.name}, "
@@ -309,6 +311,57 @@ class DiscoveryRun:
             os.replace(tmp, path)
             lo = hi
 
+    def _invalidate_jet_snapshot(self):
+        """Remove the on-disk jet snapshot (writer only).  Called when a
+        resume could not use the stored shards (corrupt, non-contiguous,
+        or uid-misaligned): the resumed run re-derives jets in float64,
+        so the retained shards no longer describe the cache this run
+        actually uses — appending new shards on top would hand the NEXT
+        resume silently inconsistent parent jets (round-3 review
+        finding).  With the files gone, the next depth barrier rewrites
+        the snapshot from row 0 against the live cache."""
+        if not self.is_writer:
+            return
+        import shutil
+        shutil.rmtree(self._snapshot_dir, ignore_errors=True)
+        try:
+            os.remove(self._snapshot_path)
+        except OSError:
+            pass
+
+    def _fresh_cleanup(self):
+        """A fresh run must not inherit another run's on-disk resume
+        state at the same db_path: stale jet shards would become the
+        delta base of this run's snapshots and stale registry parts /
+        key shards would be merged into its sidecar (round-3 review
+        finding).  The writer removes the shared artifacts; every host
+        removes its own key shard file."""
+        eng = self.engine
+        if getattr(eng, "_reg_world", 1) > 1:
+            try:
+                os.remove(self._keys_shard_path(eng._reg_rank))
+            except OSError:
+                pass
+        if not self.is_writer:
+            return
+        import glob
+        import shutil
+        self._invalidate_jet_snapshot()
+        shutil.rmtree(self._registry_dir, ignore_errors=True)
+        try:
+            os.remove(self._registry_path)
+        except OSError:
+            pass
+        # all ranks' key shards, including ranks beyond this run's world
+        # left over from an earlier, larger run (written only at depth
+        # barriers, which sit behind this host's first collectives — no
+        # live host can be writing one yet)
+        for p in glob.glob(self.db_path + ".registry.keys.*.npz"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     def _load_jet_snapshot(self):
         """Load the jet snapshot: shard directory first, then the legacy
         single-file format (round-2 runs)."""
@@ -350,6 +403,27 @@ class DiscoveryRun:
     def _registry_path(self) -> str:
         return self.db_path + ".registry.npz"
 
+    @property
+    def _registry_dir(self) -> str:
+        return self.db_path + ".registry.d"   # incremental part format
+
+    def _registry_part_files(self):
+        """Sorted [(lo, hi, path)] of existing registry part files."""
+        d = self._registry_dir
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in os.listdir(d):
+            if not (fn.startswith("part_") and fn.endswith(".npz")):
+                continue
+            try:
+                lo, hi = fn[len("part_"):-len(".npz")].split("_")
+                out.append((int(lo), int(hi), os.path.join(d, fn)))
+            except ValueError:
+                continue
+        out.sort()
+        return out
+
     def _save_registry_sidecar(self, completed_depth: int):
         """Persist the compact enumeration state at a depth barrier: the
         structural triple (op, a, b, depth) and the uint64 dedup key of
@@ -361,7 +435,13 @@ class DiscoveryRun:
         sidecar instead — display strings regenerate deterministically
         from the structure (Enumerator.register_from_struct_compose).
         Reference resume contract: general_method_paper_reproduction.py:
-        973-1107 (drain exactly the pending remainder)."""
+        973-1107 (drain exactly the pending remainder).
+
+        The registry is append-only in uid order, so each barrier writes
+        only the delta since the last one (``part_<lo>_<hi>.npz`` under
+        ``<db>.registry.d/``, run_id-tagged) plus a small manifest at
+        ``<db>.registry.npz`` — a depth-6 run no longer rewrites a ~20 GB
+        sidecar six times over (round-3 review finding)."""
         eng = self.engine
         enum = eng.enumerator
         n = enum.count_uniques()
@@ -370,7 +450,7 @@ class DiscoveryRun:
         sharded = getattr(eng, "_reg_world", 1) > 1
         if sharded:
             # every host persists the key slice it owns (the writer's map
-            # holds only its own slice); the writer's main sidecar below
+            # holds only its own slice); the writer's manifest below
             # records keys_sharded so resume merges the shard files
             self._save_keys_shard(n)
         if not self.is_writer:
@@ -381,12 +461,6 @@ class DiscoveryRun:
             self._log(f"  [registry sidecar skipped: {len(eng.fp_to_uid)} "
                       f"keys != {n} uniques]")
             return
-        if sharded:
-            keys = np.zeros(0, np.uint64)  # lives in the per-host shards
-        else:
-            ks, vs = eng.fp_to_uid.items_arrays()
-            keys = np.zeros(n, np.uint64)
-            keys[vs] = ks
         d1 = enum.uid_array(1)
         k = int(d1.size)
         if not (np.array_equal(d1, np.arange(k, dtype=d1.dtype))
@@ -394,13 +468,61 @@ class DiscoveryRun:
             self._log("  [registry sidecar skipped: depth-1 uniques are "
                       "not the uid prefix]")
             return
+        # delta base: existing parts must be this run's, contiguous from
+        # 0, and not ahead of the current registry — anything else (stale
+        # files from another run at the same db_path, a crash between a
+        # part and its manifest followed by a config change) is wiped and
+        # rewritten from scratch
+        import shutil
+        parts = self._registry_part_files()
+        saved = 0
+        if parts:
+            expect = 0
+            ok = True
+            for lo, hi, path in parts:
+                if lo != expect:
+                    ok = False
+                    break
+                expect = hi
+                try:
+                    with np.load(path) as z:
+                        if str(z["run_id"]) != self.run_id:
+                            ok = False
+                            break
+                except Exception:
+                    ok = False
+                    break
+            if ok and expect <= n:
+                saved = expect
+            else:
+                shutil.rmtree(self._registry_dir, ignore_errors=True)
+        if n > saved:
+            if sharded:
+                keys = np.zeros(0, np.uint64)  # in the per-host shards
+            else:
+                ks, vs = eng.fp_to_uid.items_arrays()
+                m = vs >= saved
+                keys = np.zeros(n - saved, np.uint64)
+                keys[vs[m] - saved] = ks[m]
+            os.makedirs(self._registry_dir, exist_ok=True)
+            path = os.path.join(self._registry_dir,
+                                f"part_{saved}_{n}.npz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f,
+                         op=enum.u_op[saved:n].copy(),
+                         a=enum.u_a[saved:n].copy(),
+                         b=enum.u_b[saved:n].copy(),
+                         depth=enum.u_depth[saved:n].copy(),
+                         keys=keys, run_id=np.str_(self.run_id))
+            os.replace(tmp, path)
         d1_exprs = np.array([enum.expr_str_of(int(u)) for u in d1])
         tmp = self._registry_path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f,
-                     op=enum.u_op[:n].copy(), a=enum.u_a[:n].copy(),
-                     b=enum.u_b[:n].copy(), depth=enum.u_depth[:n].copy(),
-                     keys=keys, d1_exprs=d1_exprs,
+                     d1_exprs=d1_exprs,
+                     n_uniques=np.int64(n),
+                     run_id=np.str_(self.run_id),
                      completed_depth=np.int64(completed_depth),
                      cache_n=np.int64(eng.cache.n),
                      n_rows=np.int64(eng.n_rows),
@@ -426,35 +548,49 @@ class DiscoveryRun:
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             np.savez(f, keys=ks, uids=vs.astype(np.int64),
-                     world=np.int64(eng._reg_world))
+                     world=np.int64(eng._reg_world),
+                     run_id=np.str_(self.run_id))
         os.replace(tmp, path)
 
-    def _load_sharded_keys(self, n: int) -> np.ndarray:
+    def _load_sharded_keys(self, n: int, world: int) -> np.ndarray:
         """Merge the per-host key shard files into the full uid-ordered
-        key array.  Raises when the shards do not cover every uid —
+        key array.  Exactly ranks 0..world-1 are read (``world`` comes
+        from the sidecar manifest) and each file must carry the matching
+        world size and run_id — stale shard files from an earlier run
+        sharing the same db_path must never be merged (round-3 review
+        finding).  Raises when the shards do not cover every uid —
         resuming from an inconsistent sidecar would mis-dedup."""
         keys = np.zeros(n, np.uint64)
         seen = np.zeros(n, np.bool_)
-        rank = 0
         found = 0
-        while True:
+        for rank in range(world):
             path = self._keys_shard_path(rank)
             if not os.path.exists(path):
-                break
+                raise RuntimeError(
+                    f"registry key shard for rank {rank}/{world} missing "
+                    f"({path}); cannot resume a sharded-registry run "
+                    "from an incomplete sidecar")
             with np.load(path) as z:
+                w = int(z["world"])
+                rid = (str(z["run_id"]) if "run_id" in z.files else None)
+                if w != world or (rid is not None and rid != self.run_id):
+                    raise RuntimeError(
+                        f"registry key shard {path} belongs to a "
+                        f"different run (world {w} vs {world}, run_id "
+                        f"{rid!r} vs {self.run_id!r}); refusing to merge "
+                        "stale shards")
                 uids = z["uids"]
                 m = uids < n          # a shard may be newer than the
                 uids = uids[m]        # sidecar by part of one barrier
                 keys[uids] = z["keys"][m]
                 seen[uids] = True
                 found += int(uids.size)
-            rank += 1
         if not bool(seen.all()):
             raise RuntimeError(
-                f"registry key shards ({rank} files, {found} keys) do not "
-                f"cover all {n} uniques of {self._registry_path}; cannot "
-                "resume a sharded-registry run from an inconsistent "
-                "sidecar")
+                f"registry key shards ({world} files, {found} keys) do "
+                f"not cover all {n} uniques of {self._registry_path}; "
+                "cannot resume a sharded-registry run from an "
+                "inconsistent sidecar")
         return keys
 
     def _load_registry_sidecar(self):
@@ -463,9 +599,48 @@ class DiscoveryRun:
             return None
         try:
             with np.load(path) as z:
-                return {k: z[k] for k in z.files}
+                reg = {k: z[k] for k in z.files}
         except Exception:
             return None
+        if "op" in reg:
+            return reg              # legacy monolithic format (round 3)
+        # parts format: assemble the full uid-ordered arrays from the
+        # run_id-tagged delta files
+        try:
+            n = int(reg["n_uniques"])
+            run_id = str(reg["run_id"])
+            parts = self._registry_part_files()
+            if not parts:
+                return None
+            op = np.empty(n, np.int16)
+            a = np.empty(n, np.int32)
+            b = np.empty(n, np.int32)
+            depth = np.empty(n, np.int16)
+            keys = np.zeros(n, np.uint64)
+            expect = 0
+            for lo, hi, p in parts:
+                if lo >= n:
+                    break
+                if lo != expect:
+                    return None     # non-contiguous
+                with np.load(p) as z:
+                    if str(z["run_id"]) != run_id:
+                        return None  # stale part from another run
+                    m = min(hi, n) - lo   # a part may be newer than the
+                    op[lo:lo + m] = z["op"][:m]   # manifest by a crash
+                    a[lo:lo + m] = z["a"][:m]
+                    b[lo:lo + m] = z["b"][:m]
+                    depth[lo:lo + m] = z["depth"][:m]
+                    kk = z["keys"]
+                    if kk.size:
+                        keys[lo:lo + m] = kk[:m]
+                expect = hi
+            if expect < n:
+                return None         # parts do not cover the registry
+        except Exception:
+            return None
+        reg.update(op=op, a=a, b=b, depth=depth, keys=keys)
+        return reg
 
     def _validate_knowns(self):
         """Check each known solution and print the verdicts (the
@@ -662,6 +837,11 @@ class DiscoveryRun:
             # snapshot rows no longer align with uids — fall back to the
             # float64 re-derivation rather than seed wrong jets
             snap = None
+        if snap is None:
+            # unusable (or absent) snapshot: clear any on-disk shards so
+            # the next barrier's save starts from row 0 of the live cache
+            # instead of appending to a base this run did not load
+            self._invalidate_jet_snapshot()
         cache_n = state.get("cache_n")
         eng.seed_cache_from_uniques(
             snapshot=snap,
@@ -717,7 +897,8 @@ class DiscoveryRun:
                 for d in np.unique(d_arr).tolist():
                     enum._dropped_string_depths.add(int(d))
         if int(reg.get("keys_sharded", 0)) > 1:
-            all_keys = self._load_sharded_keys(n)
+            all_keys = self._load_sharded_keys(
+                n, int(reg["keys_sharded"]))
         else:
             all_keys = np.asarray(reg["keys"], np.uint64)
         uids = np.arange(n, dtype=np.int64)
@@ -742,6 +923,8 @@ class DiscoveryRun:
         self._restore_stats_stubs(state, completed)
         cache_n = int(reg["cache_n"])
         snap = self._load_jet_snapshot()
+        if snap is None:
+            self._invalidate_jet_snapshot()   # see the DB-path comment
         eng.seed_cache_from_uniques(snapshot=snap, limit=cache_n)
         self._resume_start_depth = completed + 1
         self._log(f"Resumed {self.run_id} via registry sidecar: {n} "

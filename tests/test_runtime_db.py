@@ -431,3 +431,216 @@ def test_struct_fast_resume_equals_parse_resume(tmp_path):
     assert len(d4) > 0
     assert min(int(r["id"]) for r in d4) > n
     fast.close()
+
+
+def test_registry_sidecar_parts_are_incremental(tmp_path):
+    """The registry sidecar is persisted as append-only per-barrier delta
+    parts: extending a run adds a new part file without rewriting the
+    earlier ones (a depth-6 run must not rewrite a ~20 GB sidecar at
+    every barrier — round-3 review finding)."""
+    import numpy as np
+
+    run = DiscoveryRun("laplace",
+                       config=SearchConfig(max_depth=2,
+                                           audit_rejects=False),
+                       db_path=str(tmp_path / "inc.db"), verbose=False)
+    run.run(2)
+    rid = run.run_id
+    parts0 = run._registry_part_files()
+    assert parts0, "depth barriers must write registry parts"
+    assert parts0[0][0] == 0
+    first = parts0[0][2]
+    sig0 = (os.path.getsize(first), os.path.getmtime(first))
+    run.close()
+
+    res = DiscoveryRun.resume("laplace", rid,
+                              config=SearchConfig(max_depth=3,
+                                                  audit_rejects=False),
+                              db_path=str(tmp_path / "inc.db"),
+                              verbose=False)
+    res.continue_run(3)
+    parts1 = res._registry_part_files()
+    assert len(parts1) > len(parts0)
+    # contiguous coverage, and the first part untouched (no rewrite)
+    expect = 0
+    for lo, hi, _ in parts1:
+        assert lo == expect
+        expect = hi
+    assert expect == res.engine.enumerator.count_uniques()
+    assert (os.path.getsize(first), os.path.getmtime(first)) == sig0
+    # every part carries this run's id
+    for _, _, p in parts1:
+        with np.load(p) as z:
+            assert str(z["run_id"]) == rid
+    res.close()
+
+
+def test_sharded_keys_reject_stale_shards(tmp_path):
+    """_load_sharded_keys must read exactly ranks 0..world-1 and refuse
+    shard files whose world size or run_id does not match — stale files
+    from an earlier run sharing the db_path must never be merged
+    (round-3 review finding)."""
+    import numpy as np
+
+    run = DiscoveryRun("laplace", config=SearchConfig(max_depth=1),
+                       db_path=str(tmp_path / "st.db"), verbose=False)
+
+    def shard(rank, world, run_id, uids, keys):
+        with open(run._keys_shard_path(rank), "wb") as f:
+            np.savez(f, keys=np.asarray(keys, np.uint64),
+                     uids=np.asarray(uids, np.int64),
+                     world=np.int64(world), run_id=np.str_(run_id))
+
+    # good pair covering uids 0..3 for THIS run at world=2
+    shard(0, 2, run.run_id, [0, 2], [10, 12])
+    shard(1, 2, run.run_id, [1, 3], [11, 13])
+    # stale leftover from an older world=3 run: must be ignored entirely
+    shard(2, 3, "paper_repro_old_deadbeef", [0, 1, 2, 3], [9, 9, 9, 9])
+    keys = run._load_sharded_keys(4, 2)
+    np.testing.assert_array_equal(keys, [10, 11, 12, 13])
+
+    # wrong world in an in-range rank: refuse
+    shard(1, 3, run.run_id, [1, 3], [11, 13])
+    with pytest.raises(RuntimeError, match="different run"):
+        run._load_sharded_keys(4, 2)
+
+    # wrong run_id: refuse
+    shard(1, 2, "paper_repro_other_cafebabe", [1, 3], [11, 13])
+    with pytest.raises(RuntimeError, match="different run"):
+        run._load_sharded_keys(4, 2)
+
+    # missing rank: refuse
+    os.remove(run._keys_shard_path(1))
+    with pytest.raises(RuntimeError, match="missing"):
+        run._load_sharded_keys(4, 2)
+    run.close()
+
+
+def test_fresh_run_clears_stale_sidecar_files(tmp_path):
+    """A fresh run at a db_path that carries another run's resume state
+    (jet shards, registry parts, key shards) must clear it — otherwise
+    its own checkpoints would silently merge foreign data (round-3
+    review finding)."""
+    import numpy as np
+
+    db = str(tmp_path / "reuse.db")
+    # plant a foreign run's artifacts at the same path
+    os.makedirs(db + ".jets.d")
+    with open(os.path.join(db + ".jets.d", "shard_0_8.npz"), "wb") as f:
+        np.savez(f, screen=np.ones((8, 4), np.float32),
+                 fp=np.ones((8, 2), np.float32))
+    os.makedirs(db + ".registry.d")
+    with open(os.path.join(db + ".registry.d", "part_0_9.npz"),
+              "wb") as f:
+        np.savez(f, op=np.zeros(9, np.int16), a=np.zeros(9, np.int32),
+                 b=np.zeros(9, np.int32), depth=np.ones(9, np.int16),
+                 keys=np.arange(9, dtype=np.uint64),
+                 run_id=np.str_("paper_repro_old_deadbeef"))
+    with open(db + ".registry.npz", "wb") as f:
+        np.savez(f, n_uniques=np.int64(9),
+                 run_id=np.str_("paper_repro_old_deadbeef"),
+                 d1_exprs=np.array(["X"]), completed_depth=np.int64(3),
+                 cache_n=np.int64(9), n_rows=np.int64(9),
+                 keys_sharded=np.int64(0))
+    with open(db + ".registry.keys.0.npz", "wb") as f:
+        np.savez(f, keys=np.arange(4, dtype=np.uint64),
+                 uids=np.arange(4, dtype=np.int64),
+                 world=np.int64(4),
+                 run_id=np.str_("paper_repro_old_deadbeef"))
+
+    run = DiscoveryRun("laplace", config=SearchConfig(max_depth=2),
+                       db_path=db, verbose=False)
+    run.run(2)
+    # the foreign artifacts are gone; what exists now belongs to this run
+    assert not os.path.exists(db + ".registry.keys.0.npz")
+    with np.load(db + ".registry.npz") as z:
+        assert str(z["run_id"]) == run.run_id
+    for _, _, p in run._registry_part_files():
+        with np.load(p) as z:
+            assert str(z["run_id"]) == run.run_id
+    shards = run._shard_files()
+    assert shards and shards[0][0] == 0
+    # and the first jet shard is this run's (cache rows, not 8 foreign)
+    assert shards[-1][1] == min(
+        run.engine.cache.n,
+        run.config.snapshot_max_bytes
+        // ((run.engine.cache.sdim + run.engine.cache.fdim) * 4))
+    run.close()
+
+
+def test_resume_with_corrupt_jet_shard_invalidates_snapshot(tmp_path):
+    """When a resume cannot load the jet snapshot (corrupt shard), the
+    stale shards must be removed so later barriers rebuild the snapshot
+    from row 0 of the live cache — appending on top of an unloaded base
+    would hand the NEXT resume inconsistent parent jets (round-3 review
+    finding)."""
+    import numpy as np
+
+    db = str(tmp_path / "corrupt.db")
+    run = DiscoveryRun("laplace", config=SearchConfig(max_depth=2),
+                       db_path=db, verbose=False)
+    run.run(2)
+    rid = run.run_id
+    shards = run._shard_files()
+    assert shards
+    run.close()
+    with open(shards[0][2], "wb") as f:
+        f.write(b"not an npz")
+
+    res = DiscoveryRun.resume("laplace", rid,
+                              config=SearchConfig(max_depth=3),
+                              db_path=db, verbose=False)
+    res.continue_run(3)
+    # snapshot was rebuilt from scratch and is loadable + contiguous
+    shards2 = res._shard_files()
+    assert shards2 and shards2[0][0] == 0
+    snap = res._load_jet_snapshot()
+    assert snap is not None
+    assert snap["n"] == shards2[-1][1]
+    np.testing.assert_array_equal(
+        snap["screen"][: snap["n"]],
+        np.asarray(res.engine.cache.screen)[: snap["n"]])
+    res.close()
+
+
+def test_no_audit_resume_extends_two_depths(tmp_path):
+    """Extending a resumed no-audit run by TWO depths drives the arena
+    tail repair (_ensure_strings): the sidecar restores the registry with
+    dropped strings, the first non-final ingest needs parent strings
+    back, and the batched segment recomposition must reproduce the fresh
+    run byte-for-byte (per-uid recursive rebuild took hours at mega
+    scale — round-3 review finding)."""
+    fresh = DiscoveryRun("laplace",
+                         config=SearchConfig(max_depth=4,
+                                             audit_rejects=False),
+                         db_path=str(tmp_path / "f4.db"), verbose=False)
+    frep = fresh.run(4)
+
+    part = DiscoveryRun("laplace",
+                        config=SearchConfig(max_depth=2,
+                                            audit_rejects=False),
+                        db_path=str(tmp_path / "p4.db"), verbose=False)
+    part.run(2)
+    rid = part.run_id
+    part.close()
+
+    res = DiscoveryRun.resume("laplace", rid,
+                              config=SearchConfig(max_depth=4,
+                                                  audit_rejects=False),
+                              db_path=str(tmp_path / "p4.db"),
+                              verbose=False)
+    rrep = res.continue_run(4)
+    assert rrep["by_depth"] == frep["by_depth"]
+    fv = {(int(r["id"]), r["expression"], r["signature"])
+          for r in fresh.db.rows("is_valid=1")}
+    rv = {(int(r["id"]), r["expression"], r["signature"])
+          for r in res.db.rows("is_valid=1")}
+    assert rv == fv
+    # display strings identical across the whole registry
+    eb, ef = fresh.engine.enumerator, res.engine.enumerator
+    n = eb.count_uniques()
+    assert ef.count_uniques() == n
+    assert [ef.expr_str_of(u) for u in range(n)] == \
+           [eb.expr_str_of(u) for u in range(n)]
+    fresh.close()
+    res.close()
