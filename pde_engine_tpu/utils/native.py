@@ -79,13 +79,28 @@ def load_core() -> Optional[ct.CDLL]:
         _core_tried = True
         if os.environ.get("PDE_ENGINE_NO_NATIVE"):
             return None
-        src = os.path.join(_repo_root(), "csrc", "ingest_core.cpp")
-        if not os.path.exists(src):
+        # source search order: explicit override (installed-package use),
+        # then the repo-checkout layout (<root>/csrc/).
+        cands = []
+        env_dir = os.environ.get("PDE_ENGINE_CSRC")
+        if env_dir:
+            cands.append(os.path.join(env_dir, "ingest_core.cpp"))
+        cands.append(os.path.join(_repo_root(), "csrc", "ingest_core.cpp"))
+        src = next((c for c in cands if os.path.exists(c)), None)
+        if src is None:
             return None
         with open(src, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
         build_dir = os.path.join(_repo_root(), "build")
-        os.makedirs(build_dir, exist_ok=True)
+        try:
+            os.makedirs(build_dir, exist_ok=True)
+            if not os.access(build_dir, os.W_OK):
+                raise PermissionError(build_dir)
+        except (OSError, PermissionError):
+            # installed-package layout: site-packages is often read-only
+            build_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "pde_engine_tpu")
+            os.makedirs(build_dir, exist_ok=True)
         so = os.path.join(build_dir, f"libpde_ingest_{digest}.so")
         if not os.path.exists(so):
             tmp = so + f".tmp{os.getpid()}"
