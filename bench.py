@@ -3,10 +3,14 @@
 
 Measures the incremental search engine's device path — the fused
 gather + surface-op + order-4 foliation residual (8 collocation points)
-+ order-1 fingerprint (6 probe points) kernel — on the *real* depth-4
-candidate stream of the force-free problem: the jet cache is seeded by
-actually enumerating and deduplicating depths 1-3 on device, then every
-depth-4 op batch is timed.
++ order-1 fingerprint (6 probe points) segmented kernel — on the *real*
+depth-5 candidate stream of the force-free problem: the jet cache is
+seeded by actually running the production engine through depth 4
+(enumerate + screen + dedup on device), then the full depth-5 stream
+(~36M candidates in 262k-candidate mixed-op superbatches) is timed.
+Timing a 36M-candidate stream instead of the 574k depth-4 stream keeps
+the axon tunnel's ~27 ms dispatch round-trip under 1% of the measured
+window (it was ~30% — the old number measured the tunnel, not the chip).
 
 Baseline: the reference validates ~10-50 expressions/s/process with SymPy
 (BASELINE.md "Implied validation throughput"); vs_baseline uses 50/s.
@@ -126,159 +130,80 @@ def bench_mesh(n_devices: int, batch_size: int = 16384,
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    from pde_engine_tpu.enumerator import Enumerator
     from pde_engine_tpu.models import load_problem
-    from pde_engine_tpu.ops.jets import n_coeffs
-    from pde_engine_tpu.parallel.incremental import JetCache, OP_INDEX
-    from pde_engine_tpu.parallel.pallas_engine import (
-        make_pallas_segmented_kernel)
-    from pde_engine_tpu.parallel.search import unpack_screen_result_compact
-    from pde_engine_tpu.utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()
+    from pde_engine_tpu.parallel.incremental import OP_INDEX
+    from pde_engine_tpu.pipeline import DiscoveryEngine
+    from pde_engine_tpu.utils.config import SearchConfig
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    seed_depth = int(args[0]) if args else 3
+    seed_depth = int(args[0]) if args else 4
     batch_size = 262144
     use_pallas = jax.default_backend() != "cpu"
 
+    # ---- seed: run the PRODUCTION engine through depths 1..seed_depth
+    # (enumerate + screen + fingerprint-dedup on device).  Untimed — this
+    # is cache construction; the engine shares its compiled executables
+    # with production runs via the persistent compile cache.
     problem = load_problem("force_free")
-    enum = Enumerator(problem, include_special_ops=True, prune=True)
-    spoints = jnp.asarray(problem.screen_points, jnp.float32)
-    fpoints = jnp.asarray(problem.fingerprint_points, jnp.float32)
-    # same capacity/quantum as the production pipeline so bench shares its
-    # compiled executables (every distinct cache capacity is a distinct
-    # operand shape = a fresh multi-minute remote compile on the tunnel)
-    cache = JetCache(n_screen=len(problem.screen_points),
-                     t_screen=n_coeffs(problem.residual_order),
-                     n_fp=len(problem.fingerprint_points),
-                     initial_capacity=1 << 20,
-                     grow_quantum=1 << 20)
-
-    # ---- seed: depth 1 via the NumPy oracle ----
-    from pde_engine_tpu.ops.interpreter import eval_jets_np_many
-    prims = enum.primitive_candidates()
-    tapes = np.stack([c.tape.padded(16) for c in prims])
-    lengths = np.array([len(c.tape) for c in prims], np.int64)
-    consts64 = problem.consts.as_array(np.float64)
-    jets = eval_jets_np_many(tapes, lengths, consts64,
-                             problem.screen_points, problem.residual_order)
-    fj = eval_jets_np_many(tapes, lengths, consts64,
-                           problem.fingerprint_points, 1)
-    for c in prims:
-        enum.add_unique(c)
-    cache.append(jnp.asarray(jets.reshape(len(prims), -1).astype(np.float32)),
-                 jnp.asarray(fj.reshape(len(prims), -1).astype(np.float32)))
-
-    # ---- seed: depths 2..seed_depth via the segmented kernel + dedup ----
-    TILE = 512
-    SEED_SUPER = 16384  # one small fixed shape for the seeding depths
-    seg_seed = make_pallas_segmented_kernel(
-        order=problem.residual_order,
-        residual_key=problem.get_residual_key(),
-        screen_rtol=float(problem.screen_rtol),
-        n_screen=len(problem.screen_points),
-        n_fp=len(problem.fingerprint_points),
-        interpret=not use_pallas, compact=True)
-
-    seen = set()
-    for depth in range(2, seed_depth + 1):
-        pend: list = []  # (batch_slice, start)
-        ab = np.zeros((SEED_SUPER, 2), np.int32)
-        ops = np.zeros(SEED_SUPER // TILE, np.int32)
-        fill = 0
-
-        def flush_seed(ab, ops, pend):
-            packed, out_s, out_f = seg_seed(
-                cache.screen, cache.fp, jnp.asarray(ab), jnp.asarray(ops),
-                spoints, fpoints)
-            cu = unpack_screen_result_compact(
-                np.asarray(packed), len(problem.fingerprint_points))
-            fpa, fpb = cu.sr.fp_a, cu.sr.fp_b
-            keep = []
-            for batch, start in pend:
-                for j, c in enumerate(batch):
-                    g = start + j
-                    key = (int(fpa[g]), int(fpb[g]))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    enum.add_unique(c)
-                    keep.append(g)
-            idx = jnp.asarray(np.asarray(keep, np.int32))
-            cache.append(out_s[idx], out_f[idx])
-
-        for op_name, batch in enum.op_batches_at_depth(depth, SEED_SUPER):
-            need = -(-len(batch) // TILE)
-            if fill + need > SEED_SUPER // TILE:
-                flush_seed(ab, ops, pend)
-                ab = np.zeros((SEED_SUPER, 2), np.int32)
-                ops = np.zeros(SEED_SUPER // TILE, np.int32)
-                pend = []
-                fill = 0
-            start = fill * TILE
-            n = len(batch)
-            ab[start:start + n, 0] = np.fromiter(
-                (c.a.uid for c in batch), np.int32, n)
-            ab[start:start + n, 1] = np.fromiter(
-                (c.b.uid if c.b is not None else 0 for c in batch),
-                np.int32, n)
-            ops[fill:fill + need] = OP_INDEX[op_name]
-            pend.append((batch, start))
-            fill += need
-        if pend:
-            flush_seed(ab, ops, pend)
-
-    n_uniques = enum.count_uniques()
+    eng = DiscoveryEngine(problem, SearchConfig(
+        max_depth=seed_depth, use_pallas=use_pallas,
+        audit_rejects=False, snapshot_jets=False))
+    eng.run(seed_depth)
+    n_uniques = eng.enumerator.count_uniques()
+    spoints, fpoints = eng._spoints, eng._fpoints
+    cache = eng.cache
 
     # ---- timed: the full depth-(seed_depth+1) candidate stream ----
-    # assembled into tile-aligned mixed-op superbatches, exactly like the
-    # production pipeline's segmented path (one dispatch per batch_size
-    # candidates; host enumeration excluded — it overlaps the device in
-    # production)
+    # assembled at array level into tile-aligned mixed-op superbatches,
+    # exactly like the production pipeline's segmented path (one dispatch
+    # per batch_size candidates; host enumeration excluded — it overlaps
+    # the device in production).  PDE_BENCH_MAX_SUPERS caps device memory
+    # for the in-flight verdict buffers.
+    TILE = 512
     n_tiles = batch_size // TILE
-    seg_kernel = make_pallas_segmented_kernel(
-        order=problem.residual_order,
-        residual_key=problem.get_residual_key(),
-        screen_rtol=float(problem.screen_rtol),
-        n_screen=len(problem.screen_points),
-        n_fp=len(problem.fingerprint_points),
-        interpret=not use_pallas, compact=True)
+    seg_kernel = eng._seg_kernel()
+    max_supers = int(os.environ.get("PDE_BENCH_MAX_SUPERS", "160"))
 
     supers = []
     ab = np.zeros((batch_size, 2), np.int32)
     ops = np.zeros(n_tiles, np.int32)
     fill = 0
     total = 0
-    for op_name, batch in enum.op_batches_at_depth(seed_depth + 1,
-                                                   batch_size):
-        arr = np.empty((len(batch), 2), np.int32)
-        arr[:, 0] = np.fromiter((c.a.uid for c in batch), np.int32,
-                                len(batch))
-        arr[:, 1] = np.fromiter(
-            (c.b.uid if c.b is not None else 0 for c in batch),
-            np.int32, len(batch))
+    for op_name, a_u, b_u in eng.enumerator.vector_batches_at_depth(
+            seed_depth + 1, batch_size, max_parent_uid=cache.n):
+        if len(supers) >= max_supers:
+            break
+        opid = OP_INDEX[op_name]
         pos = 0
-        while pos < len(batch):
-            room = n_tiles * TILE - fill * TILE
+        n = int(a_u.size)
+        while pos < n:
+            room = (n_tiles - fill) * TILE
             if room == 0:
                 supers.append((jnp.asarray(ab), jnp.asarray(ops)))
                 ab = np.zeros((batch_size, 2), np.int32)
                 ops = np.zeros(n_tiles, np.int32)
                 fill = 0
+                if len(supers) >= max_supers:
+                    break
                 continue
-            take = min(len(batch) - pos, room)
+            take = min(n - pos, room)
             start = fill * TILE
-            ab[start:start + take] = arr[pos:pos + take]
+            ab[start:start + take, 0] = a_u[pos:pos + take]
+            if b_u is not None:
+                ab[start:start + take, 1] = b_u[pos:pos + take]
             used = -(-take // TILE)
-            ops[fill:fill + used] = OP_INDEX[op_name]
+            ops[fill:fill + used] = opid
             fill += used
             pos += take
             total += take
-    if fill:
+        if len(supers) >= max_supers:
+            break
+    if fill and len(supers) < max_supers:
         supers.append((jnp.asarray(ab), jnp.asarray(ops)))
 
     # warm-up: compile/load the one executable + the fence concat
@@ -318,6 +243,8 @@ def main():
             "seconds": round(dt, 3),
             "cache_uniques": n_uniques,
             "depth_timed": seed_depth + 1,
+            "superbatches": len(supers),
+            "stream_truncated": len(supers) >= max_supers,
         },
     }))
 
