@@ -159,36 +159,70 @@ def main():
     cache = eng.cache
 
     # ---- timed: the full depth-(seed_depth+1) candidate stream ----
-    # assembled at array level into tile-aligned mixed-op superbatches,
-    # exactly like the production pipeline's segmented path (one dispatch
-    # per batch_size candidates; host enumeration excluded — it overlaps
-    # the device in production).  PDE_BENCH_MAX_SUPERS caps device memory
-    # for the in-flight verdict buffers.
+    # assembled exactly like the production pipeline's segmented path:
+    # SUPER-sized slices sharing one op with one constant operand and one
+    # contiguous-uid operand dispatch through the structured gather
+    # bypass (make_pallas_structured_kernel — the dominant repeat/tile
+    # blocks at mega depth); everything else packs into tile-aligned
+    # mixed-op superbatches for the gather kernel.  Host enumeration is
+    # excluded — it overlaps the device in production.
+    # PDE_BENCH_MAX_SUPERS caps device memory for in-flight buffers.
+    from pde_engine_tpu.pipeline import structured_run_kind
+
     TILE = 512
     n_tiles = batch_size // TILE
     seg_kernel = eng._seg_kernel()
+    st_kernels = {k: eng._structured_kernel(k, batch_size)
+                  for k in ("a", "b")}
     max_supers = int(os.environ.get("PDE_BENCH_MAX_SUPERS", "160"))
 
-    supers = []
+    dispatches = []   # ("m", ab, ops) | ("s", kind, const, big0, opid)
     ab = np.zeros((batch_size, 2), np.int32)
     ops = np.zeros(n_tiles, np.int32)
     fill = 0
     total = 0
+    n_structured = 0
     for op_name, a_u, b_u in eng.enumerator.vector_batches_at_depth(
             seed_depth + 1, batch_size, max_parent_uid=cache.n):
-        if len(supers) >= max_supers:
+        if len(dispatches) >= max_supers:
             break
         opid = OP_INDEX[op_name]
         pos = 0
         n = int(a_u.size)
         while pos < n:
+            if n - pos >= batch_size:
+                kind = structured_run_kind(a_u, b_u, pos, batch_size)
+                if kind is not None:
+                    if fill:   # flush the partial mixed superbatch
+                        dispatches.append(
+                            ("m", jnp.asarray(ab), jnp.asarray(ops)))
+                        ab = np.zeros((batch_size, 2), np.int32)
+                        ops = np.zeros(n_tiles, np.int32)
+                        fill = 0
+                        if len(dispatches) >= max_supers:
+                            break
+                    if kind == "b":
+                        const, big0 = int(a_u[pos]), int(b_u[pos])
+                    else:
+                        big0 = int(a_u[pos])
+                        const = 0 if b_u is None else int(b_u[pos])
+                    dispatches.append(
+                        ("s", kind, jnp.asarray(const, jnp.int32),
+                         jnp.asarray(big0, jnp.int32),
+                         jnp.asarray(opid, jnp.int32)))
+                    n_structured += 1
+                    pos += batch_size
+                    total += batch_size
+                    if len(dispatches) >= max_supers:
+                        break
+                    continue
             room = (n_tiles - fill) * TILE
             if room == 0:
-                supers.append((jnp.asarray(ab), jnp.asarray(ops)))
+                dispatches.append(("m", jnp.asarray(ab), jnp.asarray(ops)))
                 ab = np.zeros((batch_size, 2), np.int32)
                 ops = np.zeros(n_tiles, np.int32)
                 fill = 0
-                if len(supers) >= max_supers:
+                if len(dispatches) >= max_supers:
                     break
                 continue
             take = min(n - pos, room)
@@ -201,15 +235,22 @@ def main():
             fill += used
             pos += take
             total += take
-        if len(supers) >= max_supers:
+        if len(dispatches) >= max_supers:
             break
-    if fill and len(supers) < max_supers:
-        supers.append((jnp.asarray(ab), jnp.asarray(ops)))
+    if fill and len(dispatches) < max_supers:
+        dispatches.append(("m", jnp.asarray(ab), jnp.asarray(ops)))
 
-    # warm-up: compile/load the one executable + the fence concat
-    packed, _, _ = seg_kernel(cache.screen, cache.fp, *supers[0],
+    def run_one(d):
+        if d[0] == "m":
+            return seg_kernel(cache.screen, cache.fp, d[1], d[2],
                               spoints, fpoints)
-    _ = np.asarray(jnp.concatenate([packed[:1, 0]]))
+        return st_kernels[d[1]](cache.screen, cache.fp, d[2], d[3], d[4],
+                                spoints, fpoints)
+
+    # warm-up: compile/load the executables + the fence concat
+    for d in dispatches[:1] + [d for d in dispatches if d[0] == "s"][:1]:
+        packed, _, _ = run_one(d)
+        _ = np.asarray(jnp.concatenate([packed[:1, 0]]))
 
     # Timed: dispatch every superbatch back-to-back, fence ONCE with a
     # device->host copy (per-batch fencing would measure the axon
@@ -221,10 +262,8 @@ def main():
     for _rep in range(3):
         t0 = time.perf_counter()
         inflight = []
-        for ab_d, ops_d in supers:
-            packed, out_s, out_f = seg_kernel(cache.screen, cache.fp,
-                                              ab_d, ops_d, spoints,
-                                              fpoints)
+        for d in dispatches:
+            packed, out_s, out_f = run_one(d)
             inflight.append(packed)
         fence = jnp.concatenate([p[:1, 0] for p in inflight])
         _ = np.asarray(fence)
@@ -243,8 +282,9 @@ def main():
             "seconds": round(dt, 3),
             "cache_uniques": n_uniques,
             "depth_timed": seed_depth + 1,
-            "superbatches": len(supers),
-            "stream_truncated": len(supers) >= max_supers,
+            "superbatches": len(dispatches),
+            "structured": n_structured,
+            "stream_truncated": len(dispatches) >= max_supers,
         },
     }))
 

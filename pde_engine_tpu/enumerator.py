@@ -860,9 +860,20 @@ class Enumerator:
                                                     Optional[np.ndarray]]]:
         """Array-level candidate generation (no Python objects, no strings):
         yields structurally deduplicated ``(op_name, a_uids, b_uids)``
-        batches.  Semantics identical to :meth:`candidates_at_depth`
-        (same prune rules, same commutative canonicalization); the 10^5-10^8
-        per-depth candidate streams never touch Python-per-candidate code.
+        batches.  Same candidate SET and prune rules as
+        :meth:`candidates_at_depth` (same commutative canonicalization);
+        the 10^5-10^8 per-depth candidate streams never touch
+        Python-per-candidate code.
+
+        Emission order within a depth: every FULL ``batch_size``-aligned
+        chunk streams in block order first; every sub-``batch_size`` tail
+        is deferred to the END of the depth stream.  Full chunks then
+        keep the pipeline's mixed superbatch buffer at exact-SUPER fill
+        (no padding flush when a structured-dispatch run begins —
+        pipeline.structured_run_kind), and the tails pack densely into
+        the final superbatches.  Within-depth order only needs to be
+        deterministic: parents all live at depths < d, so the candidate
+        set is order-invariant, and resume checkpoints at depth barriers.
 
         ``max_parent_uid`` bounds the parent window to uids whose jets are
         device-resident (the single-chip HBM budget,
@@ -881,10 +892,16 @@ class Enumerator:
                 return arr[arr < _cap] if arr.size and arr[-1] >= _cap \
                     else arr
 
+        deferred: List[Tuple[str, np.ndarray, Optional[np.ndarray]]] = []
+
         def chunks(name, a, b):
-            for i in range(0, a.size, batch_size):
+            n_full = (a.size // batch_size) * batch_size
+            for i in range(0, n_full, batch_size):
                 yield (name, a[i:i + batch_size],
                        None if b is None else b[i:i + batch_size])
+            if a.size > n_full:
+                deferred.append((name, a[n_full:],
+                                 None if b is None else b[n_full:]))
 
         # unary over depth-1 uniques
         prev = uid_arr(depth - 1)
@@ -906,14 +923,16 @@ class Enumerator:
             A, B = uid_arr(d1), uid_arr(d2)
             if not A.size or not B.size:
                 continue
+            if d1 != d2:
+                yield from self._cross_depth_batches(
+                    A, B, d1, d2, batch_size, prune, chunks)
+                continue
             a = np.repeat(A, B.size)
             b = np.tile(B, A.size)
             var = (self.f_has_var[a] | self.f_has_var[b]) if prune else \
                 np.ones(a.size, np.bool_)
             for name, _ in self.binary:
                 commutative = name in ("add", "mul")
-                if commutative and d1 > d2:
-                    continue  # block fully redundant with (d2, d1)
                 aa, bb = a, b
                 if commutative:
                     sw = aa > bb
@@ -932,7 +951,7 @@ class Enumerator:
                     elif name in ("sqrt_shift_neg", "sqrt_shift_pos"):
                         m &= self.f_is_coord[aa] & self.f_is_coord[bb]
                 sa, sb = aa[m], bb[m]
-                if commutative and d1 == d2 and sa.size:
+                if commutative and sa.size:
                     # swapped duplicates exist only within a same-depth
                     # block; keep first occurrences in enumeration order
                     key = sa.astype(np.int64) << 32 | sb.astype(np.int64)
@@ -940,6 +959,70 @@ class Enumerator:
                     fi.sort()
                     sa, sb = sa[fi], sb[fi]
                 yield from chunks(name, sa, sb)
+
+        # deferred sub-batch_size tails, packed densely at depth end
+        yield from deferred
+
+    def _cross_depth_batches(self, A, B, d1, d2, batch_size, prune,
+                             chunk_fn):
+        """Binary candidates of a cross-depth (d1 != d2) block, emitted
+        ONE RUN AT A TIME: the shallow side is a per-run constant and the
+        deep side streams as the full contiguous uid range.  Chunk
+        boundaries then coincide with run boundaries, which is what the
+        structured-dispatch gather bypass keys on
+        (pipeline.structured_run_kind) — the earlier concatenate-then-
+        chunk emission misaligned all but ~1/run.  ``chunk_fn`` is the
+        caller's full-chunks-now / tails-at-depth-end emitter.
+
+        Prune semantics match the same-depth path exactly:
+        - var: every depth>=2 unique structurally contains a variable
+          (constant-only operands are pruned at creation), and the deep
+          side is depth>=2, so ``has_var[a] | has_var[b]`` is always
+          true here;
+        - a != b (sub/div): automatic across different depths;
+        - is_one: only the depth-1 primitive "1" exists (so only the
+          shallow side can trip it — skip the whole run);
+        - sqrt_shift: both operands must be coordinate-LIKE, which
+          includes the depth-2 composites rho±z (f_is_coord — the
+          reference's operand set {rho, z, rho±z},
+          lean_bridge_fixed.py:217-219), so (1,2)/(2,1) blocks emit a
+          small coord×coord cross product here; deeper blocks have no
+          coord operands on the deep side and emit nothing."""
+        small, big = (A, B) if d1 < d2 else (B, A)
+        small_is_a = d1 < d2
+
+        def run_chunks(name, s):
+            # zero-stride constant view: full-chunk and deferred-tail
+            # slices stay O(1) memory however large the run is
+            const = np.broadcast_to(np.asarray(s, big.dtype)[None],
+                                    big.shape)
+            if small_is_a:
+                yield from chunk_fn(name, const, big)
+            else:
+                yield from chunk_fn(name, big, const)
+
+        for name, _ in self.binary:
+            commutative = name in ("add", "mul")
+            if commutative and d1 > d2:
+                continue  # block fully redundant with (d2, d1)
+            if prune and name in ("sqrt_shift_neg", "sqrt_shift_pos"):
+                sc = small[self.f_is_coord[small]]
+                bc = big[self.f_is_coord[big]]
+                if sc.size and bc.size:
+                    a_c = np.repeat(sc, bc.size)
+                    b_c = np.tile(bc, sc.size)
+                    if not small_is_a:
+                        a_c, b_c = b_c, a_c
+                    yield from chunk_fn(name, a_c, b_c)
+                continue
+            for s in small.tolist():
+                if prune:
+                    if name == "mul" and self.f_is_one[s]:
+                        continue
+                    if (name in ("div", "geom_sum") and not small_is_a
+                            and self.f_is_one[s]):
+                        continue
+                yield from run_chunks(name, s)
 
     def count_uniques(self) -> int:
         return self._next_uid

@@ -270,6 +270,156 @@ def make_pallas_segmented_kernel(order: int, residual_key: str,
 
 
 @functools.lru_cache(maxsize=None)
+def make_pallas_structured_kernel(order: int, residual_key: str,
+                                  screen_rtol: float, n_screen: int,
+                                  n_fp: int, big: str, n_batch: int,
+                                  tile: int = TILE,
+                                  interpret: bool = False,
+                                  compact: bool = True):
+    """ONE dispatch for a superbatch with STRUCTURED operands: every
+    candidate shares one surface op, one operand is a single constant uid
+    and the other is a contiguous uid range ``[big0, big0 + n_batch)``.
+
+    This is the gather bypass.  The profiled cost split of the mixed
+    segmented kernel (tools/profile_kernel.py) is ~75% XLA row-gather —
+    cache[idx] moves only ~32 GB/s against the chip's ~800 GB/s — while
+    the dominant enumeration blocks (d1 small × d2 = depth-d1 huge,
+    enumerator.vector_batches_at_depth) emit exactly repeat/tile index
+    patterns: the constant operand needs ONE row and the varying operand
+    is a contiguous cache slice read at full bandwidth with
+    ``lax.dynamic_slice``.  The Pallas body is identical to the mixed
+    segmented kernel; the constant operand rides in as ``[rows, 1]``
+    columns that broadcast across the candidate lanes.
+
+    ``big`` selects which operand is the contiguous range:
+      big="b": binary candidates (const_uid, big0+i)   — a constant
+      big="a": binary candidates (big0+i, const_uid)   — b constant,
+               and ALL unary candidates over a contiguous range
+               (const_uid ignored by unary branches).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .incremental import OP_ORDER
+
+    assert big in ("a", "b")
+    residual_fn = _RESIDUALS[residual_key]
+    T = n_coeffs(order)
+    P = n_screen
+    F = n_fp
+    rows_s = T * P
+    rows_f = 3 * F
+    n = n_batch
+    assert n % tile == 0, (n, tile)
+
+    def kernel(op_ref, points_ref, s_s_ref, s_f_ref, b_s_ref, b_f_ref,
+               out_s_ref, out_f_ref, res_ref, scale_ref):
+        from ..ops.lanes import LJ
+
+        op = op_ref[0]
+        small_s = lj_from_ref(s_s_ref, P, T)    # [P, 1] columns
+        small_f = lj_from_ref(s_f_ref, F, 3)
+        big_s = lj_from_ref(b_s_ref, P, T)      # [P, tile] columns
+        big_f = lj_from_ref(b_f_ref, F, 3)
+        if interpret:
+            # XLA:CPU's codegen is shape-sensitive: computing on [P, 1]
+            # columns and broadcasting the result differs from the mixed
+            # kernel's replicated [P, tile] computation by 1 ulp on a few
+            # lanes, which can flip a fingerprint-quantization boundary.
+            # Pre-broadcasting makes the interpret path trace the mixed
+            # kernel's exact shapes so CPU tests assert bit equality.
+            # Mosaic (real TPU) is bit-identical without this — measured
+            # via the same comparison on-chip.
+            small_s = LJ([jnp.broadcast_to(c, (P, tile))
+                          for c in small_s.cols])
+            small_f = LJ([jnp.broadcast_to(c, (F, tile))
+                          for c in small_f.cols])
+
+        def branch(name):
+            unary = name in UNARY_NAMES
+
+            def fn(_):
+                if unary:
+                    s = apply_surface_op(name, big_s, None, order, lanes)
+                    f = apply_surface_op(name, big_f, None, 1, lanes)
+                elif big == "b":
+                    s = apply_surface_op(name, small_s, big_s, order,
+                                         lanes)
+                    f = apply_surface_op(name, small_f, big_f, 1, lanes)
+                else:
+                    s = apply_surface_op(name, big_s, small_s, order,
+                                         lanes)
+                    f = apply_surface_op(name, big_f, small_f, 1, lanes)
+                return (tuple(jnp.broadcast_to(c, (P, tile))
+                              .astype(jnp.float32) for c in s.cols),
+                        tuple(jnp.broadcast_to(c, (F, tile))
+                              .astype(jnp.float32) for c in f.cols))
+            return fn
+
+        s_cols, f_cols = jax.lax.switch(
+            op, [branch(nm) for nm in OP_ORDER], 0)
+        out_s = lanes.stack(list(s_cols), axis=-1)
+        out_f = lanes.stack(list(f_cols), axis=-1)
+        pts = points_ref[:]
+        res, scale = residual_fn(out_s, pts, lanes)
+        lj_store(out_s_ref, out_s, P, tile)
+        lj_store(out_f_ref, out_f, F, tile)
+        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
+        scale_ref[:] = jnp.broadcast_to(scale,
+                                        (P, tile)).astype(scale_ref.dtype)
+
+    def spec(r):
+        return pl.BlockSpec((r, tile), lambda i, _op: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(r):
+        return pl.BlockSpec((r, 1), lambda i, _op: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    pts_spec = pl.BlockSpec((P, 1, 2), lambda i, _op: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile,),
+        in_specs=[pts_spec, const_spec(rows_s), const_spec(rows_f),
+                  spec(rows_s), spec(rows_f)],
+        out_specs=[spec(rows_s), spec(rows_f), spec(P), spec(P)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
+        jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
+        jax.ShapeDtypeStruct((P, n), jnp.float32),
+        jax.ShapeDtypeStruct((P, n), jnp.float32),
+    ]
+
+    def call(cache_screen, cache_fp, const_uid, big0, op_id, spoints,
+             fpoints):
+        small_s = to_lane_major(jax.lax.dynamic_slice(
+            cache_screen, (const_uid, 0), (1, P * T)), P, T)
+        small_f = to_lane_major(jax.lax.dynamic_slice(
+            cache_fp, (const_uid, 0), (1, F * 3)), F, 3)
+        big_s = to_lane_major(jax.lax.dynamic_slice(
+            cache_screen, (big0, 0), (n, P * T)), P, T)
+        big_f = to_lane_major(jax.lax.dynamic_slice(
+            cache_fp, (big0, 0), (n, F * 3)), F, 3)
+        points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
+        op_arr = jnp.reshape(op_id, (1,)).astype(jnp.int32)
+        out_s_lm, out_f_lm, res, scale = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret)(op_arr, points3, small_s, small_f,
+                                 big_s, big_f)
+        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
+        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
+        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
+        packed = (pack_screen_result_compact(sr) if compact
+                  else pack_screen_result(sr))
+        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
+
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
 def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
                           screen_rtol: float, n_screen: int, n_fp: int,
                           tile: int = TILE, interpret: bool = False,

@@ -58,6 +58,34 @@ from .utils.hashing import (FP_MASK, STRUCT_TAG, op_salt, stable_hash64,
 _CONST64_RTOL = 1e-12
 
 
+def _is_contiguous_run(x: np.ndarray) -> bool:
+    return (int(x[-1]) - int(x[0]) == x.size - 1
+            and bool((np.diff(x) == 1).all()))
+
+
+def structured_run_kind(a_u: np.ndarray, b_u: Optional[np.ndarray],
+                        pos: int, n: int) -> Optional[str]:
+    """Classify the ``[pos, pos+n)`` slice of an op segment for the
+    structured-dispatch gather bypass (make_pallas_structured_kernel).
+
+    Returns "b" when ``a`` is constant and ``b`` a contiguous uid range,
+    "a" when ``b`` is constant (or the op is unary) and ``a`` contiguous,
+    else None.  The enumerator's repeat/tile block structure
+    (vector_batches_at_depth) makes these the dominant cases at depth ≥ 4;
+    endpoint checks short-circuit the full scans."""
+    a = a_u[pos:pos + n]
+    if b_u is None:
+        return "a" if _is_contiguous_run(a) else None
+    b = b_u[pos:pos + n]
+    if a[0] == a[-1]:
+        if _is_contiguous_run(b) and not (a != a[0]).any():
+            return "b"
+    elif b[0] == b[-1]:
+        if _is_contiguous_run(a) and not (b != b[0]).any():
+            return "a"
+    return None
+
+
 def _const_in_f64_batch(jets: np.ndarray) -> np.ndarray:
     """Per-candidate constant flag for [N, P, T] float64 jets.
 
@@ -268,6 +296,7 @@ class DiscoveryEngine:
         self._known_fp: Dict[str, np.ndarray] = {}
         self._known_sympy = {}
         self.candidates_screened = 0
+        self.structured_dispatches = 0  # gather-bypass superbatches
         self.device_seconds = 0.0
         self.errors = 0  # host-side validation errors (reference counted
         #                  per-worker errors, general:1139-1151)
@@ -1179,6 +1208,25 @@ class DiscoveryEngine:
             interpret=(jax.default_backend() == "cpu"),
             compact=True)
 
+    def _use_structured(self) -> bool:
+        if self.config.use_structured is not None:
+            return self.config.use_structured
+        return self._use_segmented()
+
+    def _structured_kernel(self, big: str, n_batch: int):
+        import jax
+
+        from .parallel.pallas_engine import make_pallas_structured_kernel
+        return make_pallas_structured_kernel(
+            order=self.problem.residual_order,
+            residual_key=self.problem.get_residual_key(),
+            screen_rtol=float(self.screen_rtol),
+            n_screen=len(self.problem.screen_points),
+            n_fp=len(self.problem.fingerprint_points),
+            big=big, n_batch=n_batch,
+            interpret=(jax.default_backend() == "cpu"),
+            compact=True)
+
     def _run_depth_segmented(self, depth: int, max_depth: int,
                              st: DepthStats, on_row, on_rows, on_batch):
         """One device dispatch per ~batch_size candidates of MIXED ops:
@@ -1255,6 +1303,32 @@ class DiscoveryEngine:
             if on_batch is not None:
                 on_batch(st)
 
+        structured = self._use_structured()
+
+        def dispatch_structured(op_name, kind, a_u, b_u, pos):
+            # gather bypass (make_pallas_structured_kernel): the
+            # SUPER-slice shares one op with one constant operand and one
+            # contiguous-uid operand; carving only at fill_tiles == 0
+            # keeps superbatch boundaries — and therefore uid assignment
+            # order — identical to the mixed path
+            if kind == "b":
+                const_uid, big0 = int(a_u[pos]), int(b_u[pos])
+            else:
+                big0 = int(a_u[pos])
+                const_uid = 0 if b_u is None else int(b_u[pos])
+            td = time.perf_counter()
+            packed, out_s, out_f = self._structured_kernel(kind, SUPER)(
+                self.cache.screen, self.cache.fp,
+                jnp.asarray(const_uid, jnp.int32),
+                jnp.asarray(big0, jnp.int32),
+                jnp.asarray(OP_INDEX[op_name], jnp.int32),
+                self._spoints, self._fpoints)
+            st.t_device += time.perf_counter() - td
+            self.structured_dispatches += 1
+            seg = (op_name, 0, a_u[pos:pos + SUPER],
+                   None if b_u is None else b_u[pos:pos + SUPER])
+            return ([seg], packed, out_s, out_f)
+
         while True:
             te = time.perf_counter()
             item = next(gen, None)
@@ -1267,6 +1341,27 @@ class DiscoveryEngine:
             opid = OP_INDEX[op_name]
             pos = 0
             while pos < a_u.size:
+                if structured and a_u.size - pos >= SUPER:
+                    kind = structured_run_kind(a_u, b_u, pos, SUPER)
+                    if kind is not None:
+                        # flush a partial mixed superbatch first (padded
+                        # with (0,0) rows, as at stream end) so one
+                        # misaligned remainder can't force every later
+                        # full run back onto the gather path.  Stream
+                        # order — and so uid assignment — is unchanged:
+                        # drains stay in dispatch order.
+                        if fill_tiles:
+                            newitem = dispatch()
+                            if pending is not None:
+                                drain(pending)
+                            pending = newitem
+                        newitem = dispatch_structured(op_name, kind,
+                                                      a_u, b_u, pos)
+                        if pending is not None:
+                            drain(pending)
+                        pending = newitem
+                        pos += SUPER
+                        continue
                 room_rows = (n_tiles - fill_tiles) * TILE
                 if room_rows == 0:
                     newitem = dispatch()

@@ -104,6 +104,19 @@ class SearchConfig:
     # single-device Pallas path).
     use_segmented: Optional[bool] = None
 
+    # Structured-dispatch gather bypass inside the segmented path: a
+    # superbatch-sized run of candidates sharing one op, with one
+    # constant operand and one contiguous-uid operand (the dominant
+    # repeat/tile blocks the enumerator emits), dispatches through
+    # make_pallas_structured_kernel — the constant operand is ONE cache
+    # row and the varying operand a full-bandwidth contiguous slice,
+    # bypassing the XLA row-gather that profiles at ~79% of the mixed
+    # kernel's device time (tools/profile_kernel.py; measured 3.1x per
+    # superbatch on the v5e: 18.5 ms -> 6.0 ms / 262144 candidates).
+    # Verdicts are bit-identical to the mixed kernel.
+    # None = auto (on whenever the segmented path is on).
+    use_structured: Optional[bool] = None
+
     # Persist reject rows to the audit DB (reference parity: every
     # expression gets a row).  At depth-6 scale (~10^9 candidates,
     # ~10^8-10^9 uniques) the reject audit alone is ~100 GB and hours of

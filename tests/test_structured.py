@@ -1,0 +1,127 @@
+"""Structured-dispatch gather bypass (make_pallas_structured_kernel).
+
+The mixed segmented kernel's device time is ~75% XLA row-gather
+(tools/profile_kernel.py); superbatches whose candidates share one op
+with one constant operand and one contiguous-uid operand — the dominant
+repeat/tile blocks from enumerator.vector_batches_at_depth — dispatch
+through a slice+broadcast kernel instead.  These tests pin (a) bit
+equality with the mixed kernel, (b) the run-shape classifier, and (c)
+end-to-end pipeline equality with carving on vs off."""
+
+import numpy as np
+import pytest
+
+from pde_engine_tpu.models import load_problem
+from pde_engine_tpu.pipeline import DiscoveryEngine, structured_run_kind
+from pde_engine_tpu.utils.config import SearchConfig
+
+
+def _kernels(problem, n):
+    import jax.numpy as jnp
+
+    from pde_engine_tpu.ops.jets import n_coeffs
+    from pde_engine_tpu.parallel.pallas_engine import (
+        make_pallas_segmented_kernel, make_pallas_structured_kernel)
+
+    order = problem.residual_order
+    T = n_coeffs(order)
+    P = len(problem.screen_points)
+    F = len(problem.fingerprint_points)
+    rtol = float(problem.screen_rtol)
+    key = problem.get_residual_key()
+    seg = make_pallas_segmented_kernel(order, key, rtol, P, F,
+                                       interpret=True)
+    st = {big: make_pallas_structured_kernel(order, key, rtol, P, F, big,
+                                             n, interpret=True)
+          for big in ("a", "b")}
+    rng = np.random.default_rng(0)
+    C = 4 * n
+    cache_s = jnp.asarray(rng.normal(size=(C, P * T)).astype(np.float32))
+    cache_f = jnp.asarray(rng.normal(size=(C, F * 3)).astype(np.float32))
+    sp = jnp.asarray(problem.screen_points, jnp.float32)
+    fp = jnp.asarray(problem.fingerprint_points, jnp.float32)
+    return seg, st, cache_s, cache_f, sp, fp, C
+
+
+@pytest.mark.parametrize("op_name,kind", [
+    ("mul", "b"), ("geom_sum", "b"),   # constant a, contiguous b
+    ("sub", "a"), ("div", "a"),        # contiguous a, constant b
+    ("exp", "a"), ("square", "a"),     # unary over a contiguous range
+])
+def test_structured_kernel_matches_segmented(op_name, kind):
+    import jax.numpy as jnp
+
+    from pde_engine_tpu.ops.jetops import UNARY_NAMES
+    from pde_engine_tpu.parallel.incremental import OP_INDEX
+
+    problem = load_problem("force_free")
+    N = 512
+    seg, st, cache_s, cache_f, sp, fp, C = _kernels(problem, N)
+    const_uid, big0 = 7, 1000
+    opid = OP_INDEX[op_name]
+    ab = np.zeros((N, 2), np.int32)
+    contig = np.arange(big0, big0 + N, dtype=np.int32)
+    if op_name in UNARY_NAMES:
+        ab[:, 0] = contig
+    elif kind == "b":
+        ab[:, 0] = const_uid
+        ab[:, 1] = contig
+    else:
+        ab[:, 0] = contig
+        ab[:, 1] = const_uid
+    ops = np.full(N // 512, opid, np.int32)
+
+    p_ref, js_ref, jf_ref = seg(cache_s, cache_f, jnp.asarray(ab),
+                                jnp.asarray(ops), sp, fp)
+    p_st, js_st, jf_st = st[kind](
+        cache_s, cache_f, jnp.asarray(const_uid, jnp.int32),
+        jnp.asarray(big0, jnp.int32), jnp.asarray(opid, jnp.int32), sp, fp)
+    assert (np.asarray(p_ref) == np.asarray(p_st)).all()
+    assert (np.asarray(js_ref) == np.asarray(js_st)).all()
+    assert (np.asarray(jf_ref) == np.asarray(jf_st)).all()
+
+
+def test_structured_run_kind():
+    const = np.full(64, 5, np.int32)
+    contig = np.arange(100, 164, dtype=np.int32)
+    scattered = contig.copy()
+    scattered[10] += 1  # duplicate uid elsewhere -> not contiguous
+
+    assert structured_run_kind(const, contig, 0, 64) == "b"
+    assert structured_run_kind(contig, const, 0, 64) == "a"
+    assert structured_run_kind(contig, None, 0, 64) == "a"
+    assert structured_run_kind(const, scattered, 0, 64) is None
+    assert structured_run_kind(scattered, const, 0, 64) is None
+    assert structured_run_kind(contig, contig, 0, 64) is None
+    # window honors pos
+    a2 = np.concatenate([contig, const])
+    b2 = np.concatenate([const, contig])
+    assert structured_run_kind(a2, b2, 64, 64) == "b"
+    assert structured_run_kind(a2, b2, 0, 64) == "a"
+
+
+def test_structured_pipeline_matches_mixed():
+    """End-to-end: a run with carving enabled must produce the identical
+    registry and verdict stream as the gather path, and must actually
+    carve at least one structured superbatch (batch_size == one tile, so
+    depth-4 parent runs exceed SUPER)."""
+    p1 = load_problem("laplace")
+    ref = DiscoveryEngine(p1, SearchConfig(
+        max_depth=4, use_segmented=True, use_structured=False,
+        batch_size=512))
+    ref.run(4)
+    assert ref.structured_dispatches == 0
+
+    p2 = load_problem("laplace")
+    eng = DiscoveryEngine(p2, SearchConfig(
+        max_depth=4, use_segmented=True, use_structured=True,
+        batch_size=512))
+    eng.run(4)
+    assert eng.structured_dispatches > 0
+
+    assert [s.unique for s in ref.stats] == [s.unique for s in eng.stats]
+    assert [s.valid for s in ref.stats] == [s.valid for s in eng.stats]
+    # identical rows in identical order (uid assignment preserved)
+    r1 = [(r.expression, r.signature, r.is_valid) for r in ref.rows]
+    r2 = [(r.expression, r.signature, r.is_valid) for r in eng.rows]
+    assert r1 == r2
