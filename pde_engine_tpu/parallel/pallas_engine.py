@@ -281,7 +281,7 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
     and the other is a contiguous uid range ``[big0, big0 + n_batch)``.
 
     This is the gather bypass.  The profiled cost split of the mixed
-    segmented kernel (tools/profile_kernel.py) is ~75% XLA row-gather —
+    segmented kernel (tools/profile_kernel.py) is ~79% XLA row-gather —
     cache[idx] moves only ~32 GB/s against the chip's ~800 GB/s — while
     the dominant enumeration blocks (d1 small × d2 = depth-d1 huge,
     enumerator.vector_batches_at_depth) emit exactly repeat/tile index

@@ -1,6 +1,6 @@
 """Structured-dispatch gather bypass (make_pallas_structured_kernel).
 
-The mixed segmented kernel's device time is ~75% XLA row-gather
+The mixed segmented kernel's device time is ~79% XLA row-gather
 (tools/profile_kernel.py); superbatches whose candidates share one op
 with one constant operand and one contiguous-uid operand — the dominant
 repeat/tile blocks from enumerator.vector_batches_at_depth — dispatch
