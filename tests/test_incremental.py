@@ -103,6 +103,27 @@ def test_vector_enumerator_matches_object_enumerator():
     assert obj == vec
 
 
+def test_vector_enumerator_defers_tails():
+    """Deferred-tail emission order (the structured-dispatch enabler):
+    every FULL batch_size-aligned chunk streams before any sub-batch
+    tail, so the pipeline's mixed superbatch buffer never flushes
+    partially filled when a structured run begins.  The candidate SET is
+    pinned against the object path by
+    test_vector_enumerator_matches_object_enumerator; this pins the
+    order contract."""
+    p = load_problem("force_free")
+    enum = Enumerator(p, include_special_ops=True, prune=True)
+    for c in enum.primitive_candidates():
+        enum.add_unique(c)
+    for cand in enum.candidates_at_depth(2):
+        enum.add_unique(cand)
+    bs = 64  # small enough that depth-3 blocks emit both fulls and tails
+    sizes = [a.size for _, a, _ in enum.vector_batches_at_depth(3, bs)]
+    assert any(s == bs for s in sizes) and any(s < bs for s in sizes)
+    first_tail = next(i for i, s in enumerate(sizes) if s < bs)
+    assert all(s < bs for s in sizes[first_tail:])
+
+
 def test_vector_enumerator_counts_depth2():
     p = load_problem("force_free")
     enum = Enumerator(p, include_special_ops=True, prune=True)
