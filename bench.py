@@ -160,28 +160,57 @@ def main():
 
     # ---- timed: the full depth-(seed_depth+1) candidate stream ----
     # assembled exactly like the production pipeline's segmented path:
-    # SUPER-sized slices sharing one op with one constant operand and one
-    # contiguous-uid operand dispatch through the structured gather
-    # bypass (make_pallas_structured_kernel — the dominant repeat/tile
-    # blocks at mega depth); everything else packs into tile-aligned
-    # mixed-op superbatches for the gather kernel.  Host enumeration is
-    # excluded — it overlaps the device in production.
-    # PDE_BENCH_MAX_SUPERS caps device memory for in-flight buffers.
+    # SUPER-sized runs (one op, one constant operand, one contiguous-uid
+    # operand) dispatch through the full-run gather bypass
+    # (make_pallas_structured_kernel); shorter runs — deferred tails,
+    # short-run blocks — pack into per-TILE bypass superbatches
+    # (make_pallas_tiled_kernel); only genuinely scattered candidates
+    # ride the row-gather kernel.  Host enumeration is excluded — it
+    # overlaps the device in production.  PDE_BENCH_MAX_SUPERS caps
+    # device memory for in-flight buffers.
     from pde_engine_tpu.pipeline import structured_run_kind
 
     TILE = 512
     n_tiles = batch_size // TILE
+    tiled_min = eng.config.tiled_min_rows
+    capacity = cache.capacity
     seg_kernel = eng._seg_kernel()
     st_kernels = {k: eng._structured_kernel(k, batch_size)
                   for k in ("a", "b")}
+    tiled_kernel = eng._tiled_kernel(batch_size)
     max_supers = int(os.environ.get("PDE_BENCH_MAX_SUPERS", "160"))
 
-    dispatches = []   # ("m", ab, ops) | ("s", kind, const, big0, opid)
+    # ("m", ab, ops) | ("s", kind, const, big0, opid)
+    # | ("t", starts, const, opkind)
+    dispatches = []
     ab = np.zeros((batch_size, 2), np.int32)
     ops = np.zeros(n_tiles, np.int32)
     fill = 0
+    t_starts = np.zeros(n_tiles, np.int32)
+    t_const = np.zeros(n_tiles, np.int32)
+    t_opkind = np.zeros(n_tiles, np.int32)
+    t_fill = 0
     total = 0
     n_structured = 0
+    n_tiled = 0
+
+    def flush_mixed():
+        nonlocal ab, ops, fill
+        dispatches.append(("m", jnp.asarray(ab), jnp.asarray(ops)))
+        ab = np.zeros((batch_size, 2), np.int32)
+        ops = np.zeros(n_tiles, np.int32)
+        fill = 0
+
+    def flush_tiled():
+        nonlocal t_starts, t_const, t_opkind, t_fill, n_tiled
+        dispatches.append(("t", jnp.asarray(t_starts),
+                           jnp.asarray(t_const), jnp.asarray(t_opkind)))
+        n_tiled += 1
+        t_starts = np.zeros(n_tiles, np.int32)
+        t_const = np.zeros(n_tiles, np.int32)
+        t_opkind = np.zeros(n_tiles, np.int32)
+        t_fill = 0
+
     for op_name, a_u, b_u in eng.enumerator.vector_batches_at_depth(
             seed_depth + 1, batch_size, max_parent_uid=cache.n):
         if len(dispatches) >= max_supers:
@@ -189,16 +218,13 @@ def main():
         opid = OP_INDEX[op_name]
         pos = 0
         n = int(a_u.size)
-        while pos < n:
-            if n - pos >= batch_size:
+        while pos < n and len(dispatches) < max_supers:
+            rem = n - pos
+            if rem >= batch_size:
                 kind = structured_run_kind(a_u, b_u, pos, batch_size)
                 if kind is not None:
-                    if fill:   # flush the partial mixed superbatch
-                        dispatches.append(
-                            ("m", jnp.asarray(ab), jnp.asarray(ops)))
-                        ab = np.zeros((batch_size, 2), np.int32)
-                        ops = np.zeros(n_tiles, np.int32)
-                        fill = 0
+                    if fill:
+                        flush_mixed()
                         if len(dispatches) >= max_supers:
                             break
                     if kind == "b":
@@ -213,19 +239,39 @@ def main():
                     n_structured += 1
                     pos += batch_size
                     total += batch_size
-                    if len(dispatches) >= max_supers:
-                        break
                     continue
+            if rem >= tiled_min:
+                kind = structured_run_kind(a_u, b_u, pos, rem)
+                if kind is not None:
+                    big0 = int((b_u if kind == "b" else a_u)[pos])
+                    if big0 + (-(-rem // TILE)) * TILE <= capacity:
+                        cu = (int(a_u[pos]) if kind == "b" else
+                              (0 if b_u is None else int(b_u[pos])))
+                        opk = opid * 2 + (1 if kind == "b" else 0)
+                        off = 0
+                        while off < rem:
+                            room = (n_tiles - t_fill) * TILE
+                            if room == 0:
+                                flush_tiled()
+                                if len(dispatches) >= max_supers:
+                                    break
+                                continue
+                            take = min(rem - off, room)
+                            used = -(-take // TILE)
+                            for j in range(used):
+                                t_starts[t_fill + j] = big0 + off + j * TILE
+                                t_const[t_fill + j] = cu
+                                t_opkind[t_fill + j] = opk
+                            t_fill += used
+                            off += take
+                            total += take
+                        pos += rem
+                        continue
             room = (n_tiles - fill) * TILE
             if room == 0:
-                dispatches.append(("m", jnp.asarray(ab), jnp.asarray(ops)))
-                ab = np.zeros((batch_size, 2), np.int32)
-                ops = np.zeros(n_tiles, np.int32)
-                fill = 0
-                if len(dispatches) >= max_supers:
-                    break
+                flush_mixed()
                 continue
-            take = min(n - pos, room)
+            take = min(rem, room)
             start = fill * TILE
             ab[start:start + take, 0] = a_u[pos:pos + take]
             if b_u is not None:
@@ -235,20 +281,29 @@ def main():
             fill += used
             pos += take
             total += take
-        if len(dispatches) >= max_supers:
-            break
+    if t_fill and len(dispatches) < max_supers:
+        flush_tiled()
     if fill and len(dispatches) < max_supers:
-        dispatches.append(("m", jnp.asarray(ab), jnp.asarray(ops)))
+        flush_mixed()
 
     def run_one(d):
         if d[0] == "m":
             return seg_kernel(cache.screen, cache.fp, d[1], d[2],
                               spoints, fpoints)
+        if d[0] == "t":
+            return tiled_kernel(cache.screen, cache.fp, d[1], d[2], d[3],
+                                spoints, fpoints)
         return st_kernels[d[1]](cache.screen, cache.fp, d[2], d[3], d[4],
                                 spoints, fpoints)
 
     # warm-up: compile/load the executables + the fence concat
-    for d in dispatches[:1] + [d for d in dispatches if d[0] == "s"][:1]:
+    seen_kinds = set()
+    warm = []
+    for d in dispatches:
+        if d[0] not in seen_kinds:
+            seen_kinds.add(d[0])
+            warm.append(d)
+    for d in warm:
         packed, _, _ = run_one(d)
         _ = np.asarray(jnp.concatenate([packed[:1, 0]]))
 
@@ -284,6 +339,7 @@ def main():
             "depth_timed": seed_depth + 1,
             "superbatches": len(dispatches),
             "structured": n_structured,
+            "tiled": n_tiled,
             "stream_truncated": len(dispatches) >= max_supers,
         },
     }))

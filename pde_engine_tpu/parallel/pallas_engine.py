@@ -420,6 +420,163 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
 
 
 @functools.lru_cache(maxsize=None)
+def make_pallas_tiled_kernel(order: int, residual_key: str,
+                             screen_rtol: float, n_screen: int,
+                             n_fp: int, n_batch: int, tile: int = TILE,
+                             interpret: bool = False,
+                             compact: bool = True):
+    """The PER-TILE gather bypass: every 512-candidate tile has its own
+    (surface op, constant-operand uid, contiguous-operand start row) —
+    the generalization of make_pallas_structured_kernel from one
+    superbatch-long run to ANY mix of runs at tile granularity.
+
+    This covers what the full-run kernel cannot: the deferred sub-SUPER
+    run tails, short-run enumeration blocks (small × mid-depth), and
+    runs with interior pad rows — i.e. nearly all of the remaining
+    mixed-path traffic, whose XLA row-gather costs ~79% of that kernel's
+    device time (tools/profile_kernel.py).
+
+    Per-tile operand fetch measured on the v5e (262,144 candidates):
+    ``vmap(dynamic_slice)`` block-gather + in-kernel transpose +
+    static-slice row permute = 5.3 ms, bit-identical to gather +
+    ``to_lane_major`` — vs 7.9 ms for the same assembly in XLA (the
+    block-gather defeats XLA's slice/transpose fusion) and ~13 ms for
+    the row-gather path it replaces.
+
+    ``opkind[i] = op_index*2 + kind`` per tile, where kind=0 means the
+    contiguous range is operand ``a`` (and all unary ops), kind=1 means
+    it is operand ``b`` (constant ``a``).  Pad rows inside a tile (a run
+    shorter than the tile) read whatever cache rows follow the run —
+    live rows of other uids — and are discarded by the caller's segment
+    windows, exactly like the mixed path's (0, 0) pad rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .incremental import OP_ORDER
+
+    residual_fn = _RESIDUALS[residual_key]
+    T = n_coeffs(order)
+    P = n_screen
+    F = n_fp
+    rows_s = T * P
+    rows_f = 3 * F
+    n = n_batch
+    assert n % tile == 0, (n, tile)
+    n_tiles = n // tile
+
+    def lj_from_pmajor(y, n_points, n_coeff):
+        # y: [n_points*n_coeff, tile] with rows in (point, coeff) order
+        # (the raw transpose of a cache-row block); LJ wants coefficient
+        # blocks.  Static slices — Mosaic lowers them to sublane moves.
+        from ..ops.lanes import LJ
+        return LJ([jnp.concatenate(
+            [y[p * n_coeff + k:p * n_coeff + k + 1, :]
+             for p in range(n_points)], axis=0)
+            for k in range(n_coeff)])
+
+    def kernel(opkind_ref, points_ref, b_s_ref, b_f_ref, c_s_ref,
+               c_f_ref, out_s_ref, out_f_ref, res_ref, scale_ref):
+        from ..ops.lanes import LJ
+
+        ok = opkind_ref[pl.program_id(0)]
+        big_s = lj_from_pmajor(b_s_ref[0].T, P, T)    # [P, tile] cols
+        big_f = lj_from_pmajor(b_f_ref[0].T, F, 3)
+        small_s = lj_from_pmajor(c_s_ref[0].T, P, T)  # [P, 1] cols
+        small_f = lj_from_pmajor(c_f_ref[0].T, F, 3)
+        if interpret:
+            # same 1-ulp shape sensitivity as the structured kernel: CPU
+            # tests assert bit equality with the mixed kernel, so trace
+            # its exact [P, tile] shapes
+            small_s = LJ([jnp.broadcast_to(c, (P, tile))
+                          for c in small_s.cols])
+            small_f = LJ([jnp.broadcast_to(c, (F, tile))
+                          for c in small_f.cols])
+
+        def branch(name, kind):
+            unary = name in UNARY_NAMES
+
+            def fn(_):
+                if unary:
+                    s = apply_surface_op(name, big_s, None, order, lanes)
+                    f = apply_surface_op(name, big_f, None, 1, lanes)
+                elif kind == 1:   # big is b, const is a
+                    s = apply_surface_op(name, small_s, big_s, order,
+                                         lanes)
+                    f = apply_surface_op(name, small_f, big_f, 1, lanes)
+                else:             # big is a, const is b
+                    s = apply_surface_op(name, big_s, small_s, order,
+                                         lanes)
+                    f = apply_surface_op(name, big_f, small_f, 1, lanes)
+                return (tuple(jnp.broadcast_to(c, (P, tile))
+                              .astype(jnp.float32) for c in s.cols),
+                        tuple(jnp.broadcast_to(c, (F, tile))
+                              .astype(jnp.float32) for c in f.cols))
+            return fn
+
+        branches = []
+        for nm in OP_ORDER:
+            branches.append(branch(nm, 0))
+            branches.append(branch(nm, 1))
+        s_cols, f_cols = jax.lax.switch(ok, branches, 0)
+        out_s = lanes.stack(list(s_cols), axis=-1)
+        out_f = lanes.stack(list(f_cols), axis=-1)
+        pts = points_ref[:]
+        res, scale = residual_fn(out_s, pts, lanes)
+        lj_store(out_s_ref, out_s, P, tile)
+        lj_store(out_f_ref, out_f, F, tile)
+        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
+        scale_ref[:] = jnp.broadcast_to(scale,
+                                        (P, tile)).astype(scale_ref.dtype)
+
+    def spec(r):
+        return pl.BlockSpec((r, tile), lambda i, _ok: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def block_spec(rows, w):
+        return pl.BlockSpec((1, rows, w), lambda i, _ok: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    pts_spec = pl.BlockSpec((P, 1, 2), lambda i, _ok: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pts_spec, block_spec(tile, P * T), block_spec(tile, F * 3),
+                  block_spec(1, P * T), block_spec(1, F * 3)],
+        out_specs=[spec(rows_s), spec(rows_f), spec(P), spec(P)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
+        jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
+        jax.ShapeDtypeStruct((P, n), jnp.float32),
+        jax.ShapeDtypeStruct((P, n), jnp.float32),
+    ]
+
+    def call(cache_screen, cache_fp, starts, const_uid, opkind, spoints,
+             fpoints):
+        blocks_s = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            cache_screen, (st, 0), (tile, P * T)))(starts)
+        blocks_f = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            cache_fp, (st, 0), (tile, F * 3)))(starts)
+        const_s = cache_screen[const_uid][:, None, :]   # [nt, 1, Ws]
+        const_f = cache_fp[const_uid][:, None, :]
+        points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
+        out_s_lm, out_f_lm, res, scale = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret)(opkind.astype(jnp.int32), points3,
+                                 blocks_s, blocks_f, const_s, const_f)
+        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
+        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
+        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
+        packed = (pack_screen_result_compact(sr) if compact
+                  else pack_screen_result(sr))
+        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
+
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
 def make_pallas_op_kernel(op_name: str, order: int, residual_key: str,
                           screen_rtol: float, n_screen: int, n_fp: int,
                           tile: int = TILE, interpret: bool = False,

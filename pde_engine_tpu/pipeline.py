@@ -296,7 +296,8 @@ class DiscoveryEngine:
         self._known_fp: Dict[str, np.ndarray] = {}
         self._known_sympy = {}
         self.candidates_screened = 0
-        self.structured_dispatches = 0  # gather-bypass superbatches
+        self.structured_dispatches = 0  # full-run gather-bypass batches
+        self.tiled_dispatches = 0       # per-tile gather-bypass batches
         self.device_seconds = 0.0
         self.errors = 0  # host-side validation errors (reference counted
         #                  per-worker errors, general:1139-1151)
@@ -1235,6 +1236,25 @@ class DiscoveryEngine:
             return self.config.use_structured
         return self._use_segmented()
 
+    def _use_tiled(self) -> bool:
+        if self.config.use_tiled is not None:
+            return self.config.use_tiled
+        return self._use_segmented()
+
+    def _tiled_kernel(self, n_batch: int):
+        import jax
+
+        from .parallel.pallas_engine import make_pallas_tiled_kernel
+        return make_pallas_tiled_kernel(
+            order=self.problem.residual_order,
+            residual_key=self.problem.get_residual_key(),
+            screen_rtol=float(self.screen_rtol),
+            n_screen=len(self.problem.screen_points),
+            n_fp=len(self.problem.fingerprint_points),
+            n_batch=n_batch,
+            interpret=(jax.default_backend() == "cpu"),
+            compact=True)
+
     def _structured_kernel(self, big: str, n_batch: int):
         import jax
 
@@ -1352,13 +1372,75 @@ class DiscoveryEngine:
             pending = newitem
 
         structured = self._use_structured()
+        tiled = self._use_tiled()
+
+        # per-TILE gather-bypass buffer (make_pallas_tiled_kernel): run
+        # items shorter than a superbatch pack here, one (op, const uid,
+        # contiguous start) per 512-candidate tile
+        t_starts = np.zeros(n_tiles, np.int32)
+        t_const = np.zeros(n_tiles, np.int32)
+        t_opkind = np.zeros(n_tiles, np.int32)
+        t_segs: List = []
+        t_fill = 0
+
+        def dispatch_tiled():
+            nonlocal t_starts, t_const, t_opkind, t_segs, t_fill
+            td = time.perf_counter()
+            packed, out_s, out_f = self._tiled_kernel(SUPER)(
+                self.cache.screen, self.cache.fp,
+                jnp.asarray(t_starts), jnp.asarray(t_const),
+                jnp.asarray(t_opkind), self._spoints, self._fpoints)
+            st.t_device += time.perf_counter() - td
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            self.tiled_dispatches += 1
+            item = (t_segs, packed, out_s, out_f)
+            t_starts = np.zeros(n_tiles, np.int32)
+            t_const = np.zeros(n_tiles, np.int32)
+            t_opkind = np.zeros(n_tiles, np.int32)
+            t_segs = []
+            t_fill = 0
+            return item
+
+        def add_tiled(op_name, kind, a_u, b_u, pos, m):
+            """Pack the run slice [pos, pos+m) into the tiled buffer,
+            splitting across superbatches when it overflows.  Pad rows in
+            a segment's last tile continue the contiguous uid ramp past
+            the run's end (live rows of other uids); they land outside
+            the segment's window and are discarded at ingest, exactly
+            like the mixed path's (0, 0) pad rows."""
+            nonlocal t_fill
+            opk = OP_INDEX[op_name] * 2 + (1 if kind == "b" else 0)
+            if kind == "b":
+                const_uid, big0 = int(a_u[pos]), int(b_u[pos])
+            else:
+                big0 = int(a_u[pos])
+                const_uid = 0 if b_u is None else int(b_u[pos])
+            off = 0
+            while off < m:
+                room = (n_tiles - t_fill) * TILE
+                if room == 0:
+                    advance(dispatch_tiled)
+                    continue
+                take = min(m - off, room)
+                used = -(-take // TILE)
+                for j in range(used):
+                    t_starts[t_fill + j] = big0 + off + j * TILE
+                    t_const[t_fill + j] = const_uid
+                    t_opkind[t_fill + j] = opk
+                t_segs.append((op_name, t_fill * TILE,
+                               a_u[pos + off:pos + off + take],
+                               None if b_u is None
+                               else b_u[pos + off:pos + off + take]))
+                t_fill += used
+                off += take
 
         def dispatch_structured(op_name, kind, a_u, b_u, pos):
             # gather bypass (make_pallas_structured_kernel): the
             # SUPER-slice shares one op with one constant operand and one
-            # contiguous-uid operand; carving only at fill_tiles == 0
-            # keeps superbatch boundaries — and therefore uid assignment
-            # order — identical to the mixed path
+            # contiguous-uid operand
             if kind == "b":
                 const_uid, big0 = int(a_u[pos]), int(b_u[pos])
             else:
@@ -1393,21 +1475,33 @@ class DiscoveryEngine:
             opid = OP_INDEX[op_name]
             pos = 0
             while pos < a_u.size:
-                if structured and a_u.size - pos >= SUPER:
+                rem = a_u.size - pos
+                if structured and rem >= SUPER:
                     kind = structured_run_kind(a_u, b_u, pos, SUPER)
                     if kind is not None:
-                        # flush a partial mixed superbatch first (padded
-                        # with (0,0) rows, as at stream end) so one
-                        # misaligned remainder can't force every later
-                        # full run back onto the gather path.  Stream
-                        # order — and so uid assignment — is unchanged:
-                        # drains stay in dispatch order.
+                        # flush the mixed buffer first so drains keep
+                        # stream order when the per-tile bypass is off
+                        # (with deferred tails this is an exactly-full,
+                        # padding-free flush: full chunks precede tails)
                         if fill_tiles:
                             advance(dispatch)
                         advance(lambda: dispatch_structured(
                             op_name, kind, a_u, b_u, pos))
                         pos += SUPER
                         continue
+                if tiled and rem >= self.config.tiled_min_rows:
+                    kind = structured_run_kind(a_u, b_u, pos, rem)
+                    if kind is not None:
+                        big0 = int((b_u if kind == "b" else a_u)[pos])
+                        pad_end = big0 + (-(-rem // TILE)) * TILE
+                        if pad_end <= self.cache.capacity:
+                            add_tiled(op_name, kind, a_u, b_u, pos, rem)
+                            pos += rem
+                            continue
+                        # pad tile would slice past the cache allocation
+                        # (clamped dynamic_slice would shift real rows):
+                        # fall through to the mixed gather — rare, only
+                        # within TILE rows of the capacity quantum
                 room_rows = (n_tiles - fill_tiles) * TILE
                 if room_rows == 0:
                     advance(dispatch)
@@ -1426,6 +1520,8 @@ class DiscoveryEngine:
                              None if b_u is None else b_u[pos:pos + take]))
                 fill_tiles += used
                 pos += take
+        if t_fill:
+            advance(dispatch_tiled)
         if fill_tiles:
             advance(dispatch)
         if pending is not None:

@@ -117,6 +117,26 @@ class SearchConfig:
     # None = auto (on whenever the segmented path is on).
     use_structured: Optional[bool] = None
 
+    # Per-TILE gather bypass (make_pallas_tiled_kernel): run-shaped
+    # items SHORTER than a superbatch — deferred run tails, short-run
+    # blocks — pack into a second superbatch buffer where every
+    # 512-candidate tile carries its own (op, const uid, contiguous
+    # start); the kernel block-slices each tile's operand rows instead
+    # of row-gathering them and is bit-identical to the mixed kernel.
+    # With both bypasses on, superbatch DISPATCH ORDER (and so uid
+    # assignment) interleaves the three buffers deterministically but no
+    # longer equals the mixed-only path's candidate order; per-depth
+    # unique/valid counts are order-invariant (fingerprint dedup) and
+    # asserted equal across modes in tests/test_structured.py.
+    # None = auto (on whenever the segmented path is on).
+    use_tiled: Optional[bool] = None
+
+    # Run items with fewer real rows than this go to the MIXED buffer
+    # even when run-shaped: a tiled tile costs ~17.6 us of device time
+    # for 512 slots, the mixed path ~70 ns/row — below ~256 real rows
+    # the pad waste exceeds the gather saved.
+    tiled_min_rows: int = 256
+
     # Persist reject rows to the audit DB (reference parity: every
     # expression gets a row).  At depth-6 scale (~10^9 candidates,
     # ~10^8-10^9 uniques) the reject audit alone is ~100 GB and hours of

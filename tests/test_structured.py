@@ -81,6 +81,62 @@ def test_structured_kernel_matches_segmented(op_name, kind):
     assert (np.asarray(jf_ref) == np.asarray(jf_st)).all()
 
 
+def test_tiled_kernel_matches_segmented():
+    """The per-tile gather bypass (make_pallas_tiled_kernel): a
+    superbatch mixing per-tile ops, kinds and contiguous starts must be
+    bit-identical to the mixed segmented kernel on the equivalent
+    row-gather index array."""
+    import jax.numpy as jnp
+
+    from pde_engine_tpu.ops.jetops import UNARY_NAMES
+    from pde_engine_tpu.parallel.incremental import OP_INDEX
+    from pde_engine_tpu.parallel.pallas_engine import (
+        make_pallas_tiled_kernel)
+
+    problem = load_problem("force_free")
+    N, TILE = 2048, 512
+    n_tiles = N // TILE
+    seg, _, cache_s, cache_f, sp, fp, C = _kernels(problem, N)
+    tiled = make_pallas_tiled_kernel(
+        problem.residual_order, problem.get_residual_key(),
+        float(problem.screen_rtol), len(problem.screen_points),
+        len(problem.fingerprint_points), N, interpret=True)
+
+    # tile 0: mul with const a; tile 1: div with const b; tile 2: unary
+    # exp; tile 3: geom_sum with const a — four kinds in one dispatch
+    tiles = [("mul", 1, 7, 100), ("div", 0, 9, 700),
+             ("exp", 0, 0, 1500), ("geom_sum", 1, 3, 30)]
+    ab = np.zeros((N, 2), np.int32)
+    ops = np.zeros(n_tiles, np.int32)
+    starts = np.zeros(n_tiles, np.int32)
+    const = np.zeros(n_tiles, np.int32)
+    opkind = np.zeros(n_tiles, np.int32)
+    for i, (name, kind, cu, st) in enumerate(tiles):
+        lo = i * TILE
+        contig = np.arange(st, st + TILE, dtype=np.int32)
+        if name in UNARY_NAMES:
+            ab[lo:lo + TILE, 0] = contig
+        elif kind == 1:
+            ab[lo:lo + TILE, 0] = cu
+            ab[lo:lo + TILE, 1] = contig
+        else:
+            ab[lo:lo + TILE, 0] = contig
+            ab[lo:lo + TILE, 1] = cu
+        ops[i] = OP_INDEX[name]
+        starts[i] = st
+        const[i] = cu
+        opkind[i] = OP_INDEX[name] * 2 + kind
+
+    p_ref, js_ref, jf_ref = seg(cache_s, cache_f, jnp.asarray(ab),
+                                jnp.asarray(ops), sp, fp)
+    p_t, js_t, jf_t = tiled(cache_s, cache_f, jnp.asarray(starts),
+                            jnp.asarray(const), jnp.asarray(opkind),
+                            sp, fp)
+    assert (np.asarray(p_ref) == np.asarray(p_t)).all()
+    assert (np.asarray(js_ref) == np.asarray(js_t)).all()
+    assert (np.asarray(jf_ref) == np.asarray(jf_t)).all()
+
+
 def test_structured_run_kind():
     const = np.full(64, 5, np.int32)
     contig = np.arange(100, 164, dtype=np.int32)
@@ -101,21 +157,23 @@ def test_structured_run_kind():
 
 
 def test_structured_pipeline_matches_mixed():
-    """End-to-end: a run with carving enabled must produce the identical
-    registry and verdict stream as the gather path, and must actually
-    carve at least one structured superbatch (batch_size == one tile, so
-    depth-4 parent runs exceed SUPER)."""
+    """End-to-end: a run with the full-run carve enabled (per-tile bypass
+    off) must produce the identical registry and verdict stream as the
+    gather path — with only whole-superbatch runs carved, superbatch
+    boundaries and uid assignment are preserved exactly — and must
+    actually carve (batch_size == one tile, so depth-4 parent runs
+    exceed SUPER)."""
     p1 = load_problem("laplace")
     ref = DiscoveryEngine(p1, SearchConfig(
         max_depth=4, use_segmented=True, use_structured=False,
-        batch_size=512))
+        use_tiled=False, batch_size=512))
     ref.run(4)
     assert ref.structured_dispatches == 0
 
     p2 = load_problem("laplace")
     eng = DiscoveryEngine(p2, SearchConfig(
         max_depth=4, use_segmented=True, use_structured=True,
-        batch_size=512))
+        use_tiled=False, batch_size=512))
     eng.run(4)
     assert eng.structured_dispatches > 0
 
@@ -125,3 +183,33 @@ def test_structured_pipeline_matches_mixed():
     r1 = [(r.expression, r.signature, r.is_valid) for r in ref.rows]
     r2 = [(r.expression, r.signature, r.is_valid) for r in eng.rows]
     assert r1 == r2
+
+
+def test_tiled_pipeline_matches_mixed():
+    """End-to-end with the per-tile bypass: short run items dispatch
+    through the tiled kernel, interleaving the three superbatch buffers.
+    Dispatch order (and so uid assignment / first-occurrence
+    representatives) deterministically differs from the gather path, but
+    the candidate SET is identical and fingerprint dedup is
+    order-invariant — per-depth candidate/unique/valid counts and the
+    knowns must match exactly."""
+    p1 = load_problem("laplace")
+    ref = DiscoveryEngine(p1, SearchConfig(
+        max_depth=4, use_segmented=True, use_structured=False,
+        use_tiled=False, batch_size=512))
+    ref.run(4)
+
+    p2 = load_problem("laplace")
+    eng = DiscoveryEngine(p2, SearchConfig(
+        max_depth=4, use_segmented=True, use_structured=True,
+        use_tiled=True, batch_size=512, tiled_min_rows=64))
+    eng.run(4)
+    assert eng.tiled_dispatches > 0
+
+    assert [s.candidates for s in ref.stats] == \
+        [s.candidates for s in eng.stats]
+    assert [s.unique for s in ref.stats] == [s.unique for s in eng.stats]
+    assert [s.valid for s in ref.stats] == [s.valid for s in eng.stats]
+    k1 = {r.paper_solution_name for r in ref.rows if r.is_paper_solution}
+    k2 = {r.paper_solution_name for r in eng.rows if r.is_paper_solution}
+    assert k1 == k2 and len(k2) > 0
