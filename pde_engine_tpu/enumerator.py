@@ -179,7 +179,7 @@ class Enumerator:
     of (a_uid, b_uid) pairs for the incremental device engine)."""
 
     def __init__(self, problem: Problem, include_special_ops: bool = True,
-                 prune: bool = True):
+                 prune: bool = True, spill_dir: Optional[str] = None):
         self.problem = problem
         self.prune = prune
         self.unary = [(n, ot.UNARY_OPS[n]) for n in problem.unary_ops]
@@ -224,7 +224,9 @@ class Enumerator:
         self.arena = None
         try:
             from .utils.native import ExprArena
-            self.arena = ExprArena()
+            # spill_dir: back string bytes with an unlinked temp file
+            # (evictable pages) — the mega-run registry-RAM lever
+            self.arena = ExprArena(spill_dir=spill_dir)
         except Exception:
             self.arena = None
         if self.arena is not None:
@@ -927,6 +929,9 @@ class Enumerator:
                 yield from self._cross_depth_batches(
                     A, B, d1, d2, batch_size, prune, chunks)
                 continue
+            if d1 >= 2:
+                yield from self._same_depth_batches(A, prune, chunks)
+                continue
             a = np.repeat(A, B.size)
             b = np.tile(B, A.size)
             var = (self.f_has_var[a] | self.f_has_var[b]) if prune else \
@@ -962,6 +967,61 @@ class Enumerator:
 
         # deferred sub-batch_size tails, packed densely at depth end
         yield from deferred
+
+    def _same_depth_batches(self, A, prune, chunk_fn):
+        """Binary candidates of a same-depth ``(d, d)`` block with d >= 2,
+        emitted ONE RUN AT A TIME so chunk boundaries coincide with run
+        boundaries and the block rides the structured-dispatch gather
+        bypass (pipeline.structured_run_kind) instead of the mixed
+        row-gather path — same-depth blocks are ~16% of a depth-6
+        stream.  The flat repeat/tile emission survives only for the
+        tiny d == 1 block, where depth-1 constants make the var mask
+        real.
+
+        At d >= 2 the flat path's masks collapse to pure run structure:
+        every depth>=2 unique structurally contains a variable
+        (constant-only composites are pruned at creation, so
+        ``has_var[a] | has_var[b]`` is always true) and none is the
+        primitive "1" (``f_is_one`` is set False for all composites), so
+
+        - add/mul: unordered pairs with repetition, canonical min-uid
+          first ⇒ run ``(A[i], A[i:])`` — identical pairs in identical
+          first-occurrence order to the flat swap+unique path;
+        - sub/div: ordered pairs, a != b ⇒ two contiguous pieces around
+          the diagonal hole, ``(A[i], A[:i])`` and ``(A[i], A[i+1:])``;
+        - geom_sum (and everything when prune is off): all ordered
+          pairs ⇒ run ``(A[i], A)``;
+        - sqrt_shift_*: coordinate-like × coordinate-like — a tiny
+          cross product (only depth-2 rho±z composites qualify beyond
+          depth 1), emitted flat.
+
+        Candidate SET identical to the flat path (pinned at depth 4 by
+        tests/test_incremental.py); only within-depth emission order
+        changes, which the depth-barrier contract allows (parents all
+        live at shallower depths)."""
+        def const_runs(name, s, brange):
+            if brange.size:
+                const = np.broadcast_to(np.asarray(s, A.dtype)[None],
+                                        brange.shape)
+                yield from chunk_fn(name, const, brange)
+
+        for name, _ in self.binary:
+            if prune and name in ("sqrt_shift_neg", "sqrt_shift_pos"):
+                sel = A[self.f_is_coord[A]]
+                if sel.size:
+                    yield from chunk_fn(name, np.repeat(sel, sel.size),
+                                        np.tile(sel, sel.size))
+                continue
+            commutative = name in ("add", "mul")
+            exclude_diag = prune and name in ("sub", "div")
+            for i, s in enumerate(A.tolist()):
+                if commutative:
+                    yield from const_runs(name, s, A[i:])
+                elif exclude_diag:
+                    yield from const_runs(name, s, A[:i])
+                    yield from const_runs(name, s, A[i + 1:])
+                else:
+                    yield from const_runs(name, s, A)
 
     def _cross_depth_batches(self, A, B, d1, d2, batch_size, prune,
                              chunk_fn):

@@ -124,6 +124,45 @@ def test_vector_enumerator_defers_tails():
     assert all(s < bs for s in sizes[first_tail:])
 
 
+def test_same_depth_blocks_match_object_enumerator_depth4():
+    """Depth 4 exercises the (2, 2) same-depth block, which emits ONE
+    RUN AT A TIME (_same_depth_batches) instead of flat repeat/tile
+    arrays so it rides the structured-dispatch gather bypass.  Pins the
+    candidate SET against the object path with prune both on and off
+    (off removes the a != b diagonal exclusion), plus duplicate-freedom
+    and the fulls-before-tails order contract."""
+    p = load_problem("laplace")
+    for prune in (True, False):
+        def mk():
+            e = Enumerator(p, include_special_ops=True, prune=prune)
+            for c in e.primitive_candidates():
+                e.add_unique(c)
+            for d in (2, 3):
+                for cand in e.candidates_at_depth(d):
+                    e.add_unique(cand)
+            return e
+
+        obj = set()
+        for cand in mk().candidates_at_depth(4):
+            obj.add((cand.op_name, cand.a.uid,
+                     cand.b.uid if cand.b is not None else -1))
+        vec, n_vec, sizes = set(), 0, []
+        bs = 64
+        for op, a_u, b_u in mk().vector_batches_at_depth(4, bs):
+            n_vec += a_u.size
+            sizes.append(a_u.size)
+            if b_u is None:
+                vec.update((op, int(a), -1) for a in a_u.tolist())
+            else:
+                vec.update((op, int(a), int(b))
+                           for a, b in zip(a_u.tolist(), b_u.tolist()))
+        assert obj == vec
+        assert len(vec) == n_vec  # no swapped-pair duplicates
+        first_tail = next((i for i, s in enumerate(sizes) if s < bs),
+                          len(sizes))
+        assert all(s < bs for s in sizes[first_tail:])
+
+
 def test_vector_enumerator_counts_depth2():
     p = load_problem("force_free")
     enum = Enumerator(p, include_special_ops=True, prune=True)
