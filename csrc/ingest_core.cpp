@@ -28,7 +28,9 @@
 #include <ctime>
 
 #ifdef __linux__
+#include <fcntl.h>
 #include <sys/mman.h>
+#include <unistd.h>
 #endif
 
 // Allocate a big arena 2 MiB-aligned and ask for transparent huge pages
@@ -458,6 +460,15 @@ namespace {
 struct ExprArena {
     char* buf = nullptr;
     uint64_t len = 0, cap = 0;
+    // >= 0: buf is a MAP_SHARED mapping of an unlinked temp file — the
+    // kernel writes string pages back and evicts them under memory
+    // pressure, so display strings stop counting against the anonymous
+    // RSS that sets the single-host registry ceiling (PERF roadmap:
+    // ~50 B/unique was one of the two largest per-host structures).
+    // Composition reads stay fast because strings are stored in uid
+    // order and the enumerator streams contiguous uid runs: parent
+    // reads are sequential, which file readahead covers.
+    int fd = -1;
     uint64_t* off = nullptr;     // per-uid offset into buf
     uint32_t* slen = nullptr;    // per-uid string length
     uint64_t n = 0, ncap = 0;
@@ -470,7 +481,16 @@ struct ExprArena {
     int n_wraps = 0;
 
     ~ExprArena() {
+#ifdef __linux__
+        if (fd >= 0) {
+            if (buf) munmap(buf, cap);
+            close(fd);
+        } else {
+            free(buf);
+        }
+#else
         free(buf);
+#endif
         free(off);
         free(slen);
         for (int i = 0; i < n_wraps; ++i) free(wraps[i].s);
@@ -493,6 +513,25 @@ struct ExprArena {
         if (len + need <= cap) return;
         uint64_t nc = cap ? cap : (1u << 20);
         while (nc < len + need) nc <<= 1;
+#ifdef __linux__
+        if (fd >= 0) {
+            if (ftruncate(fd, (off_t)nc) != 0) {
+                perror("ExprArena spill: ftruncate");
+                abort();  // same contract as realloc failure: the run
+            }             // DB is durable and resumable
+            void* nb = cap
+                ? mremap(buf, cap, nc, MREMAP_MAYMOVE)
+                : mmap(nullptr, nc, PROT_READ | PROT_WRITE, MAP_SHARED,
+                       fd, 0);
+            if (nb == MAP_FAILED) {
+                perror("ExprArena spill: mmap");
+                abort();
+            }
+            buf = (char*)nb;
+            cap = nc;
+            return;
+        }
+#endif
         buf = (char*)realloc(buf, nc);
         cap = nc;
     }
@@ -520,6 +559,32 @@ struct ExprArena {
 extern "C" {
 
 void* ea_new() { return new ExprArena(); }
+
+// Disk-backed arena: string bytes live in an UNLINKED temp file under
+// `dir` (MAP_SHARED), so they page out under memory pressure instead of
+// counting against anonymous RSS, and vanish on process exit (resume
+// rebuilds strings from the DB/registry sidecar, never from the arena).
+// Returns NULL when no temp file can be created there — callers fall
+// back to the anonymous arena.
+void* ea_new_spill(const char* dir) {
+#ifdef __linux__
+    int fd = open(dir, O_TMPFILE | O_RDWR, 0600);
+    if (fd < 0) {  // filesystem without O_TMPFILE: mkstemp + unlink
+        char path[4096];
+        snprintf(path, sizeof path, "%s/.pde_arena_XXXXXX", dir);
+        fd = mkstemp(path);
+        if (fd < 0) return nullptr;
+        unlink(path);
+    }
+    ExprArena* a = new ExprArena();
+    a->fd = fd;
+    return a;
+#else
+    (void)dir;
+    return nullptr;
+#endif
+}
+
 void ea_free(void* h) { delete (ExprArena*)h; }
 int64_t ea_count(void* h) { return (int64_t)((ExprArena*)h)->n; }
 int64_t ea_bytes(void* h) { return (int64_t)((ExprArena*)h)->len; }

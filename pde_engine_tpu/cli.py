@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device jet-cache HBM budget in rows (~550 B/row; "
                         "uniques beyond it are screened and stored but "
                         "not composed deeper on this chip)")
+    p.add_argument("--spill-strings", nargs="?", const="auto",
+                   default=None, metavar="DIR",
+                   help="Disk-spill the display-string arena to an "
+                        "unlinked temp file in DIR (default: the run "
+                        "DB's directory) — string pages become "
+                        "evictable, lifting the ~50 B/unique share of "
+                        "the mega-run host-RAM ceiling")
     p.add_argument("--omega", type=float, default=0.0,
                    help="Rigid field-line rotation rate (force_free only)")
     p.add_argument("--confirm-symbolic", action="store_true",
@@ -125,6 +132,7 @@ def main(argv=None) -> int:
         defer_heavy_checks=not args.heavy_checks,
         audit_rejects=not args.no_audit_rejects,
         shard_registry=args.shard_registry,
+        spill_strings=args.spill_strings,
     )
     if args.max_cache_rows is not None:
         config.max_cache_rows = args.max_cache_rows

@@ -218,7 +218,14 @@ class DiscoveryEngine:
         self.enumerator = Enumerator(
             problem,
             include_special_ops=self.config.include_special_ops,
-            prune=self.config.prune)
+            prune=self.config.prune,
+            spill_dir=self.config.spill_strings)
+        if (self.config.spill_strings is not None
+                and self.enumerator.arena is not None
+                and not self.enumerator.arena.spilled):
+            print(f"  [mem] string-arena spill to "
+                  f"{self.config.spill_strings} unavailable; strings "
+                  "stay in RAM", flush=True)
         if self.config.use_native is False:
             self.enumerator.arena = None  # exercise the Python string path
             self.enumerator.allow_native_tapes = False

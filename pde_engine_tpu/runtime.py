@@ -71,6 +71,9 @@ class DiscoveryRun:
             self.db = ReadOnlyRunDB(self.db_path, self.run_id)
         self.mesh = mesh
         self.verbose = verbose
+        if self.config.spill_strings == "auto":
+            # resolved here, where the run DB's directory is known
+            self.config.spill_strings = self.out_dir
         self.engine = DiscoveryEngine(self.problem, self.config, mesh=mesh)
         # native reject sink: mass reject rows bypass Python tuple
         # construction and go straight into the run DB via the C++ writer

@@ -157,6 +157,17 @@ class SearchConfig:
     # 2-process determinism test asserts).
     shard_registry: bool = False
 
+    # Directory for disk-spilling the display-string arena (None = keep
+    # strings in anonymous RAM).  When set, string bytes live in an
+    # UNLINKED temp file there mapped MAP_SHARED: the kernel pages them
+    # out under memory pressure, removing the ~50 B/unique string share
+    # of the host registry (the 10^9-unique RAM ceiling, PERF.md).
+    # Composition reads stay sequential (strings are uid-ordered and
+    # the enumerator streams contiguous uid runs).  The file vanishes
+    # on process exit; resume never reads it (strings rebuild from the
+    # DB / registry sidecar).
+    spill_strings: Optional[str] = None
+
     # Hard HBM budget for the device jet cache, in rows (~550 B/row at
     # order 4).  Mid-depth uniques beyond this cap are still screened,
     # stored, and deduplicated — they just never become PARENTS of deeper

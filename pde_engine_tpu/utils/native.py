@@ -147,6 +147,8 @@ def _declare(lib: ct.CDLL):
         ct.c_int32, ct.c_char_p, ct.c_int32, i32p, i32p]
     lib.ea_new.restype = ct.c_void_p
     lib.ea_new.argtypes = []
+    lib.ea_new_spill.restype = ct.c_void_p
+    lib.ea_new_spill.argtypes = [ct.c_char_p]
     lib.ea_free.argtypes = [ct.c_void_p]
     lib.ea_count.restype = ct.c_int64
     lib.ea_count.argtypes = [ct.c_void_p]
@@ -402,11 +404,26 @@ class ExprArena:
     Python string work on a 24M-unique depth-5 run.  ``None`` handle ⇒
     caller should use the Python list path."""
 
-    def __init__(self, core: Optional[ct.CDLL] = None):
+    def __init__(self, core: Optional[ct.CDLL] = None,
+                 spill_dir: Optional[str] = None):
+        """``spill_dir``: back the byte buffer with an UNLINKED temp
+        file there (MAP_SHARED) so string pages are evictable under
+        memory pressure — lifts the ~50 B/unique display-string share
+        of the single-host registry RAM ceiling (PERF.md roadmap).
+        Falls back to the anonymous arena when the directory rejects
+        temp files; check ``spilled``."""
         self._core = core if core is not None else load_core()
         if self._core is None:
             raise RuntimeError("native core unavailable")
-        self._h = self._core.ea_new()
+        self.spilled = False
+        self._h = None
+        if spill_dir is not None:
+            h = self._core.ea_new_spill(spill_dir.encode())
+            if h:
+                self._h = h
+                self.spilled = True
+        if self._h is None:
+            self._h = self._core.ea_new()
 
     def __len__(self) -> int:
         return int(self._core.ea_count(self._h))

@@ -257,3 +257,61 @@ def test_tune_allocator_idempotent():
     assert tune_allocator() == first
     if sys.platform.startswith("linux"):
         assert first is True
+
+
+# ---------------------------------------------------------------------------
+# Disk-spilled string arena (SearchConfig.spill_strings / --spill-strings):
+# string bytes in an UNLINKED MAP_SHARED temp file, evictable under memory
+# pressure — the mega-run host-RAM lever (PERF.md roadmap #4).
+# ---------------------------------------------------------------------------
+
+@needs_native
+def test_spill_arena_matches_anonymous(tmp_path):
+    from pde_engine_tpu.utils.native import ExprArena
+    spill = ExprArena(spill_dir=str(tmp_path))
+    anon = ExprArena()
+    assert spill.spilled and not anon.spilled
+    for a in (spill, anon):
+        a.add_raw(["rho", "z", "1"])
+        a.set_wrapped(2, "(1)")
+        a.add_bulk("(", " + ", ")", np.arange(3), np.array([1, 2, 0]),
+                   use_wrapped=True)
+        # grow through several ftruncate+mremap cycles
+        for _ in range(8):
+            n = len(a)
+            a.add_bulk("sqrt(", None, ")", np.arange(n), None)
+    assert len(spill) == len(anon)
+    for uid in range(0, len(spill), max(1, len(spill) // 64)):
+        assert spill.get(uid) == anon.get(uid)
+    uids = np.arange(0, len(spill), 7, dtype=np.int64)
+    assert spill.blob(uids) == anon.blob(uids)
+    # the backing file is unlinked at creation: nothing visible on disk
+    assert not [f for f in os.listdir(tmp_path)
+                if f.startswith(".pde_arena")]
+    # unwritable dir falls back to the anonymous arena, not an error
+    fb = ExprArena(spill_dir=str(tmp_path / "missing"))
+    assert not fb.spilled
+    fb.add_raw(["x"])
+    assert fb.get(0) == "x"
+
+
+@needs_native
+def test_spill_strings_run_matches_default(tmp_path):
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    def rows(spill):
+        sub = tmp_path / ("spill" if spill else "plain")
+        sub.mkdir()
+        cfg = SearchConfig(max_depth=3, use_pallas=False,
+                           spill_strings=str(sub) if spill else None)
+        run = DiscoveryRun("laplace", cfg, verbose=False,
+                           db_path=str(sub / "run.db"))
+        run.run()
+        out = [(r["id"], r["expression"], r["signature"], r["is_valid"])
+               for r in run.db.rows()]
+        run.close()
+        return out
+
+    a, b = rows(True), rows(False)
+    assert a == b and len(a) > 0
