@@ -142,7 +142,10 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     seed_depth = int(args[0]) if args else 4
-    batch_size = 262144
+    # Superbatch size for the timed dispatches.  Bigger superbatches
+    # amortize the tunnel's ~4.5 ms per-dispatch floor (PERF.md roadmap);
+    # must be a multiple of TILE (512).
+    batch_size = int(os.environ.get("PDE_BENCH_BATCH", "262144"))
     use_pallas = jax.default_backend() != "cpu"
 
     # ---- seed: run the PRODUCTION engine through depths 1..seed_depth

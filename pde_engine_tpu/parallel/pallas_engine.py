@@ -13,8 +13,10 @@ TPU kernel in that layout via the LJ shim (ops/lanes.py):
     XLA:    gather operand rows from the HBM jet cache, transpose to
             lane-major [T*P, N]
     Pallas: per 512-candidate tile — surface op at screen order (4) and
-            fingerprint order (1) + PDE residual/scale, all in VMEM
-    XLA:    verdict flags, fingerprint quantize+hash, packing (small)
+            fingerprint order (1) + PDE residual/scale + verdict flags,
+            fingerprint quantize+hash and the 12 B/candidate compact
+            packing (_verdict_pack_tile), all in VMEM
+    XLA:    candidate-major transpose of the output jets (cache append)
 
 The XLA universal kernel (parallel/incremental.py) remains the default on
 CPU and the correctness oracle; tests compare the two in interpret mode.
@@ -36,6 +38,123 @@ from .search import (_RESIDUALS, pack_screen_result,
                      pack_screen_result_compact, verdicts_from_parts)
 
 TILE = 512
+
+
+def _verdict_pack_tile(res, scale, s_cols, f_cols, n_screen: int,
+                       n_fp: int, tile: int, screen_rtol: float):
+    """IN-KERNEL verdicts + compact packing for one lane-major tile —
+    the fused tail of search.verdicts_from_parts +
+    pack_screen_result_compact.
+
+    Keeping the verdict in the kernel removes the biggest XLA post-pass
+    of every screen dispatch: the old tail re-read the full
+    candidate-major jet arrays ([N, P*T] + [N, F*3], ~155 MB per 262k
+    superbatch) plus two [P, N] res/scale outputs just to reduce them to
+    12 B/candidate.  Here the reduction happens on the [P, tile] vregs
+    already live in VMEM and only the 12 B/candidate packing leaves the
+    kernel.
+
+    Bit-identity with the XLA pair is by construction: the same jnp
+    elementwise ops (including jnp.frexp's bit-level mantissa/exponent
+    split inside search._quantize) in the same fingerprint fold order,
+    and the point/coefficient reductions (any/all/max) are exact.
+    Asserted against the XLA oracle in tests/test_structured.py (CPU
+    interpret mode) and on chip (PERF.md).
+
+    Returns a ``[3, tile]`` uint32 block: rows (fp_a, fp_b,
+    rel_max-bf16 | flags) — the lane-major transpose of one
+    pack_screen_result_compact row block.
+    """
+    from .search import JET_TINY, SCALE_FLOOR, _quantize
+
+    P, F = n_screen, n_fp
+    f32 = jnp.float32
+    u32 = jnp.uint32
+    res = jnp.broadcast_to(res, (P, tile)).astype(f32)
+    scale = jnp.broadcast_to(scale, (P, tile)).astype(f32)
+    rel = jnp.abs(res) / (scale + jnp.asarray(1e-30, f32))
+    finite = jnp.isfinite(res) & jnp.isfinite(scale)
+
+    # informative_points: underflow-blind vs structural-zero discipline
+    coeff_ok = None
+    allzero = None
+    for c in s_cols:
+        a = jnp.abs(jnp.broadcast_to(c, (P, tile)).astype(f32))
+        ok = (a == 0.0) | (a > JET_TINY)
+        zz = a == 0.0
+        coeff_ok = ok if coeff_ok is None else (coeff_ok & ok)
+        allzero = zz if allzero is None else (allzero & zz)
+    healthy = coeff_ok & ~allzero
+    structural = (scale == 0.0) & (res == 0.0) & healthy
+    ok_pt = finite & ((scale > SCALE_FLOOR) | structural)
+    any_inform = jnp.any(ok_pt, axis=0, keepdims=True)        # [1, tile]
+    rel_max = jnp.max(jnp.where(ok_pt, rel, 0.0), axis=0, keepdims=True)
+    rel_max = jnp.where(any_inform, rel_max, jnp.inf).astype(f32)
+    nonfinite_any = jnp.any(~finite, axis=0, keepdims=True)
+    screen_ok = (~nonfinite_any) & any_inform & (rel_max < screen_rtol)
+
+    # fingerprint quantize + FNV fold, flat order k = probe*3 + coeff
+    fcols = [jnp.broadcast_to(c, (F, tile)).astype(f32) for c in f_cols]
+    q = [_quantize(c) for c in fcols]                       # [F, tile] i32
+    fin = [jnp.isfinite(c) for c in fcols]
+
+    def fold(mult: int, seed: int):
+        h = jnp.full((1, tile), seed, dtype=u32)
+        for p in range(F):
+            for c in range(3):
+                h = (h * u32(mult)) ^ q[c][p:p + 1, :].astype(u32)
+        return h
+
+    fp_a = fold(0x01000193, 0x811C9DC5)
+    fp_b = fold(0x85EBCA6B, 0xC2B2AE35)
+    fp_fin = jnp.all(fin[0] & fin[1] & fin[2], axis=0, keepdims=True)
+    val_ok = jnp.all(fin[0], axis=0, keepdims=True)
+    grad_max = jnp.max(jnp.maximum(jnp.abs(fcols[1]), jnp.abs(fcols[2])),
+                       axis=0, keepdims=True)
+    is_const = (grad_max == 0.0) & val_ok
+
+    flags = (screen_ok.astype(u32)
+             | (nonfinite_any.astype(u32) << 1)
+             | (is_const.astype(u32) << 2)
+             | (fp_fin.astype(u32) << 3))
+    rel_bits = jax.lax.bitcast_convert_type(rel_max, u32)
+    col2 = ((rel_bits + u32(0xFFFF)) & u32(0xFFFF0000)) | flags
+    return jnp.concatenate([fp_a, fp_b, col2], axis=0)       # [3, tile]
+
+
+def lj_from_pmajor(y, n_points: int, n_coeff: int):
+    """Build an LJ from a ``[n_points*n_coeff, tile]`` block whose rows
+    are in (point, coeff) order — the raw in-register transpose of a
+    candidate-major cache-row block.  LJ wants coefficient blocks; the
+    static slices lower to Mosaic sublane moves.  Measured with the
+    per-tile block-gather: this in-kernel assembly runs 5.3 ms / 262k
+    candidates vs 7.9 ms for the same slice/transpose in XLA (PERF.md),
+    which is why ALL kernel inputs arrive candidate-major raw."""
+    from ..ops.lanes import LJ
+    return LJ([jnp.concatenate(
+        [y[p * n_coeff + k:p * n_coeff + k + 1, :]
+         for p in range(n_points)], axis=0)
+        for k in range(n_coeff)])
+
+
+def _store_candidate_major(ref, jet, n_points: int, n_coeff: int,
+                           tile: int):
+    """Write an LJ to a ``[tile, P*T]`` ref in CANDIDATE-MAJOR layout
+    (column p*T + k == the jet-cache row format) — the in-kernel
+    equivalent of ops.lanes.from_lane_major.
+
+    The old tail wrote lane-major ``[T*P, n]`` outputs and XLA
+    transposed them back to cache rows (from_lane_major: a full
+    HBM read+write of the jet arrays, ~310 MB per 262k superbatch
+    across screen+fingerprint orders).  Reordering the rows while
+    they are still VMEM vregs and transposing in-register removes
+    that pass; the cache append and the passer gather then consume
+    the kernel output directly.  Pure layout change — values are
+    bit-identical, asserted in tests/test_structured.py."""
+    rows = [jnp.broadcast_to(jet.cols[k], (n_points, tile))[p:p + 1, :]
+            .astype(ref.dtype)
+            for p in range(n_points) for k in range(n_coeff)]
+    ref[:] = jnp.concatenate(rows, axis=0).T
 
 
 def _op_tile_runner(op_name: str, order: int, residual_key: str,
@@ -175,7 +294,13 @@ def make_pallas_segmented_kernel(order: int, residual_key: str,
     costs one host->device dispatch per (op, shape) batch — ~34 per
     force_free depth, and the tunnel charges ~5 ms each, 4x the actual
     compute at depth-4 scale.  The segmented kernel runs the same depth
-    in ceil(total/262144) dispatches."""
+    in ceil(total/262144) dispatches.
+
+    Verdicts + compact packing are FUSED into the kernel
+    (:func:`_verdict_pack_tile`); only ``compact=True`` is supported
+    here (the per-op universal kernel keeps the XLA tail and both
+    packings, and serves as the correctness oracle)."""
+    assert compact, "segmented kernel fuses the compact packing in-kernel"
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -189,12 +314,14 @@ def make_pallas_segmented_kernel(order: int, residual_key: str,
     rows_f = 3 * F
 
     def kernel(tile_op_ref, points_ref, a_s_ref, a_f_ref, b_s_ref,
-               b_f_ref, out_s_ref, out_f_ref, res_ref, scale_ref):
+               b_f_ref, out_s_ref, out_f_ref, packed_ref):
         op = tile_op_ref[pl.program_id(0)]
-        a_s = lj_from_ref(a_s_ref, P, T)
-        a_f = lj_from_ref(a_f_ref, F, 3)
-        b_s = lj_from_ref(b_s_ref, P, T)
-        b_f = lj_from_ref(b_f_ref, F, 3)
+        # operands arrive candidate-major raw (the gathered cache rows);
+        # the lane-major relayout happens in-register (lj_from_pmajor)
+        a_s = lj_from_pmajor(a_s_ref[:].T, P, T)
+        a_f = lj_from_pmajor(a_f_ref[:].T, F, 3)
+        b_s = lj_from_pmajor(b_s_ref[:].T, P, T)
+        b_f = lj_from_pmajor(b_f_ref[:].T, F, 3)
 
         def branch(name):
             unary = name in UNARY_NAMES
@@ -218,16 +345,19 @@ def make_pallas_segmented_kernel(order: int, residual_key: str,
         out_f = lanes.stack(list(f_cols), axis=-1)
         pts = points_ref[:]
         res, scale = residual_fn(out_s, pts, lanes)
-        lj_store(out_s_ref, out_s, P, tile)
-        lj_store(out_f_ref, out_f, F, tile)
-        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
-        scale_ref[:] = jnp.broadcast_to(scale,
-                                        (P, tile)).astype(scale_ref.dtype)
+        _store_candidate_major(out_s_ref, out_s, P, T, tile)
+        _store_candidate_major(out_f_ref, out_f, F, 3, tile)
+        packed_ref[:] = _verdict_pack_tile(res, scale, s_cols, f_cols,
+                                           P, F, tile, screen_rtol)
 
     # under scalar prefetch every index_map receives the prefetch ref as
     # a trailing argument
     def spec(r):
         return pl.BlockSpec((r, tile), lambda i, _ops: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def rspec(w):
+        return pl.BlockSpec((tile, w), lambda i, _ops: (i, 0),
                             memory_space=pltpu.VMEM)
 
     pts_spec = pl.BlockSpec((P, 1, 2), lambda i, _ops: (0, 0, 0),
@@ -238,33 +368,27 @@ def make_pallas_segmented_kernel(order: int, residual_key: str,
         assert n % tile == 0, (n, tile)
         a_idx = ab_idx[:, 0]
         b_idx = ab_idx[:, 1]
-        a_s = to_lane_major(cache_screen[a_idx], P, T)
-        a_f = to_lane_major(cache_fp[a_idx], F, 3)
-        b_s = to_lane_major(cache_screen[b_idx], P, T)
-        b_f = to_lane_major(cache_fp[b_idx], F, 3)
+        a_s = cache_screen[a_idx]            # candidate-major raw rows
+        a_f = cache_fp[a_idx]
+        b_s = cache_screen[b_idx]
+        b_f = cache_fp[b_idx]
         points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n // tile,),
-            in_specs=[pts_spec, spec(rows_s), spec(rows_f),
-                      spec(rows_s), spec(rows_f)],
-            out_specs=[spec(rows_s), spec(rows_f), spec(P), spec(P)],
+            in_specs=[pts_spec, rspec(rows_s), rspec(rows_f),
+                      rspec(rows_s), rspec(rows_f)],
+            out_specs=[rspec(rows_s), rspec(rows_f), spec(3)],
         )
         out_shape = [
-            jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
-            jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
-            jax.ShapeDtypeStruct((P, n), jnp.float32),
-            jax.ShapeDtypeStruct((P, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, rows_s), jnp.float32),
+            jax.ShapeDtypeStruct((n, rows_f), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.uint32),
         ]
-        out_s_lm, out_f_lm, res, scale = pl.pallas_call(
+        jets, fj, packed_lm = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret)(tile_ops, points3, a_s, a_f, b_s, b_f)
-        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
-        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
-        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
-        packed = (pack_screen_result_compact(sr) if compact
-                  else pack_screen_result(sr))
-        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
+        return (packed_lm.T, jets, fj)
 
     return jax.jit(call)
 
@@ -296,7 +420,11 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
       big="a": binary candidates (big0+i, const_uid)   — b constant,
                and ALL unary candidates over a contiguous range
                (const_uid ignored by unary branches).
+
+    Verdicts + compact packing are fused in-kernel
+    (:func:`_verdict_pack_tile`); compact only.
     """
+    assert compact, "structured kernel fuses the compact packing in-kernel"
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -313,14 +441,15 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
     assert n % tile == 0, (n, tile)
 
     def kernel(op_ref, points_ref, s_s_ref, s_f_ref, b_s_ref, b_f_ref,
-               out_s_ref, out_f_ref, res_ref, scale_ref):
+               out_s_ref, out_f_ref, packed_ref):
         from ..ops.lanes import LJ
 
         op = op_ref[0]
-        small_s = lj_from_ref(s_s_ref, P, T)    # [P, 1] columns
-        small_f = lj_from_ref(s_f_ref, F, 3)
-        big_s = lj_from_ref(b_s_ref, P, T)      # [P, tile] columns
-        big_f = lj_from_ref(b_f_ref, F, 3)
+        # all operands arrive candidate-major raw; in-register relayout
+        small_s = lj_from_pmajor(s_s_ref[:].T, P, T)  # [P, 1] columns
+        small_f = lj_from_pmajor(s_f_ref[:].T, F, 3)
+        big_s = lj_from_pmajor(b_s_ref[:].T, P, T)    # [P, tile] columns
+        big_f = lj_from_pmajor(b_f_ref[:].T, F, 3)
         if interpret:
             # XLA:CPU's codegen is shape-sensitive: computing on [P, 1]
             # columns and broadcasting the result differs from the mixed
@@ -362,18 +491,21 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
         out_f = lanes.stack(list(f_cols), axis=-1)
         pts = points_ref[:]
         res, scale = residual_fn(out_s, pts, lanes)
-        lj_store(out_s_ref, out_s, P, tile)
-        lj_store(out_f_ref, out_f, F, tile)
-        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
-        scale_ref[:] = jnp.broadcast_to(scale,
-                                        (P, tile)).astype(scale_ref.dtype)
+        _store_candidate_major(out_s_ref, out_s, P, T, tile)
+        _store_candidate_major(out_f_ref, out_f, F, 3, tile)
+        packed_ref[:] = _verdict_pack_tile(res, scale, s_cols, f_cols,
+                                           P, F, tile, screen_rtol)
 
     def spec(r):
         return pl.BlockSpec((r, tile), lambda i, _op: (0, i),
                             memory_space=pltpu.VMEM)
 
-    def const_spec(r):
-        return pl.BlockSpec((r, 1), lambda i, _op: (0, 0),
+    def rspec(w):
+        return pl.BlockSpec((tile, w), lambda i, _op: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(w):
+        return pl.BlockSpec((1, w), lambda i, _op: (0, 0),
                             memory_space=pltpu.VMEM)
 
     pts_spec = pl.BlockSpec((P, 1, 2), lambda i, _op: (0, 0, 0),
@@ -383,38 +515,32 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
         num_scalar_prefetch=1,
         grid=(n // tile,),
         in_specs=[pts_spec, const_spec(rows_s), const_spec(rows_f),
-                  spec(rows_s), spec(rows_f)],
-        out_specs=[spec(rows_s), spec(rows_f), spec(P), spec(P)],
+                  rspec(rows_s), rspec(rows_f)],
+        out_specs=[rspec(rows_s), rspec(rows_f), spec(3)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
-        jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
-        jax.ShapeDtypeStruct((P, n), jnp.float32),
-        jax.ShapeDtypeStruct((P, n), jnp.float32),
+        jax.ShapeDtypeStruct((n, rows_s), jnp.float32),
+        jax.ShapeDtypeStruct((n, rows_f), jnp.float32),
+        jax.ShapeDtypeStruct((3, n), jnp.uint32),
     ]
 
     def call(cache_screen, cache_fp, const_uid, big0, op_id, spoints,
              fpoints):
-        small_s = to_lane_major(jax.lax.dynamic_slice(
-            cache_screen, (const_uid, 0), (1, P * T)), P, T)
-        small_f = to_lane_major(jax.lax.dynamic_slice(
-            cache_fp, (const_uid, 0), (1, F * 3)), F, 3)
-        big_s = to_lane_major(jax.lax.dynamic_slice(
-            cache_screen, (big0, 0), (n, P * T)), P, T)
-        big_f = to_lane_major(jax.lax.dynamic_slice(
-            cache_fp, (big0, 0), (n, F * 3)), F, 3)
+        small_s = jax.lax.dynamic_slice(
+            cache_screen, (const_uid, 0), (1, P * T))
+        small_f = jax.lax.dynamic_slice(
+            cache_fp, (const_uid, 0), (1, F * 3))
+        big_s = jax.lax.dynamic_slice(
+            cache_screen, (big0, 0), (n, P * T))
+        big_f = jax.lax.dynamic_slice(
+            cache_fp, (big0, 0), (n, F * 3))
         points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
         op_arr = jnp.reshape(op_id, (1,)).astype(jnp.int32)
-        out_s_lm, out_f_lm, res, scale = pl.pallas_call(
+        jets, fj, packed_lm = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret)(op_arr, points3, small_s, small_f,
                                  big_s, big_f)
-        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
-        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
-        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
-        packed = (pack_screen_result_compact(sr) if compact
-                  else pack_screen_result(sr))
-        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
+        return (packed_lm.T, jets, fj)
 
     return jax.jit(call)
 
@@ -448,7 +574,11 @@ def make_pallas_tiled_kernel(order: int, residual_key: str,
     it is operand ``b`` (constant ``a``).  Pad rows inside a tile (a run
     shorter than the tile) read whatever cache rows follow the run —
     live rows of other uids — and are discarded by the caller's segment
-    windows, exactly like the mixed path's (0, 0) pad rows."""
+    windows, exactly like the mixed path's (0, 0) pad rows.
+
+    Verdicts + compact packing are fused in-kernel
+    (:func:`_verdict_pack_tile`); compact only."""
+    assert compact, "tiled kernel fuses the compact packing in-kernel"
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -464,18 +594,8 @@ def make_pallas_tiled_kernel(order: int, residual_key: str,
     assert n % tile == 0, (n, tile)
     n_tiles = n // tile
 
-    def lj_from_pmajor(y, n_points, n_coeff):
-        # y: [n_points*n_coeff, tile] with rows in (point, coeff) order
-        # (the raw transpose of a cache-row block); LJ wants coefficient
-        # blocks.  Static slices — Mosaic lowers them to sublane moves.
-        from ..ops.lanes import LJ
-        return LJ([jnp.concatenate(
-            [y[p * n_coeff + k:p * n_coeff + k + 1, :]
-             for p in range(n_points)], axis=0)
-            for k in range(n_coeff)])
-
     def kernel(opkind_ref, points_ref, b_s_ref, b_f_ref, c_s_ref,
-               c_f_ref, out_s_ref, out_f_ref, res_ref, scale_ref):
+               c_f_ref, out_s_ref, out_f_ref, packed_ref):
         from ..ops.lanes import LJ
 
         ok = opkind_ref[pl.program_id(0)]
@@ -522,14 +642,17 @@ def make_pallas_tiled_kernel(order: int, residual_key: str,
         out_f = lanes.stack(list(f_cols), axis=-1)
         pts = points_ref[:]
         res, scale = residual_fn(out_s, pts, lanes)
-        lj_store(out_s_ref, out_s, P, tile)
-        lj_store(out_f_ref, out_f, F, tile)
-        res_ref[:] = jnp.broadcast_to(res, (P, tile)).astype(res_ref.dtype)
-        scale_ref[:] = jnp.broadcast_to(scale,
-                                        (P, tile)).astype(scale_ref.dtype)
+        _store_candidate_major(out_s_ref, out_s, P, T, tile)
+        _store_candidate_major(out_f_ref, out_f, F, 3, tile)
+        packed_ref[:] = _verdict_pack_tile(res, scale, s_cols, f_cols,
+                                           P, F, tile, screen_rtol)
 
     def spec(r):
         return pl.BlockSpec((r, tile), lambda i, _ok: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def rspec(w):
+        return pl.BlockSpec((tile, w), lambda i, _ok: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def block_spec(rows, w):
@@ -544,13 +667,12 @@ def make_pallas_tiled_kernel(order: int, residual_key: str,
         grid=(n_tiles,),
         in_specs=[pts_spec, block_spec(tile, P * T), block_spec(tile, F * 3),
                   block_spec(1, P * T), block_spec(1, F * 3)],
-        out_specs=[spec(rows_s), spec(rows_f), spec(P), spec(P)],
+        out_specs=[rspec(rows_s), rspec(rows_f), spec(3)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((rows_s, n), jnp.float32),
-        jax.ShapeDtypeStruct((rows_f, n), jnp.float32),
-        jax.ShapeDtypeStruct((P, n), jnp.float32),
-        jax.ShapeDtypeStruct((P, n), jnp.float32),
+        jax.ShapeDtypeStruct((n, rows_s), jnp.float32),
+        jax.ShapeDtypeStruct((n, rows_f), jnp.float32),
+        jax.ShapeDtypeStruct((3, n), jnp.uint32),
     ]
 
     def call(cache_screen, cache_fp, starts, const_uid, opkind, spoints,
@@ -562,16 +684,11 @@ def make_pallas_tiled_kernel(order: int, residual_key: str,
         const_s = cache_screen[const_uid][:, None, :]   # [nt, 1, Ws]
         const_f = cache_fp[const_uid][:, None, :]
         points3 = spoints.reshape(P, 1, 2).astype(jnp.float32)
-        out_s_lm, out_f_lm, res, scale = pl.pallas_call(
+        jets, fj, packed_lm = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret)(opkind.astype(jnp.int32), points3,
                                  blocks_s, blocks_f, const_s, const_f)
-        jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
-        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
-        sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
-        packed = (pack_screen_result_compact(sr) if compact
-                  else pack_screen_result(sr))
-        return (packed, jets.reshape(n, -1), fj.reshape(n, -1))
+        return (packed_lm.T, jets, fj)
 
     return jax.jit(call)
 

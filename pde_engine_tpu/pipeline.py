@@ -244,8 +244,13 @@ class DiscoveryEngine:
         if self.config.batch_size is None:
             # auto (SearchConfig.batch_size): large batches amortize the
             # per-dispatch round trip on real accelerators; small ones
-            # keep the CPU/test path snappy
-            self.config.batch_size = (65536 if _jx.default_backend()
+            # keep the CPU/test path snappy.  262144 is the production
+            # superbatch every recorded mega-run and bench.py use — and
+            # the shape whose kernel executables the persistent compile
+            # cache already holds (a FRESH shape costs a 300-400 s
+            # remote Mosaic compile per kernel on the tunneled chip;
+            # that is why shapes are quantized at all)
+            self.config.batch_size = (262144 if _jx.default_backend()
                                       != "cpu" else 16384)
         self.fp_to_uid = DedupMap(
             force_python=(self.config.use_native is False),

