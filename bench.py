@@ -7,7 +7,9 @@ gather + surface-op + order-4 foliation residual (8 collocation points)
 depth-5 candidate stream of the force-free problem: the jet cache is
 seeded by actually running the production engine through depth 4
 (enumerate + screen + dedup on device), then the full depth-5 stream
-(~36M candidates in 262k-candidate mixed-op superbatches) is timed.
+(~36M candidates in 262k-candidate superbatches routed exactly like
+production: full-run structured bypass, per-tile bypass, row-gather
+mixed — all with verdicts fused in-kernel) is timed.
 Timing a 36M-candidate stream instead of the 574k depth-4 stream keeps
 the axon tunnel's ~27 ms dispatch round-trip under 1% of the measured
 window (it was ~30% — the old number measured the tunnel, not the chip).

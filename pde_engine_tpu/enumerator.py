@@ -739,17 +739,22 @@ class Enumerator:
         return [self.unique_at(i) for i in range(self._next_uid)]
 
     def _grow_flags(self):
+        from .utils.native import hugepage_array
         new_cap = self._cap * 2
         while new_cap <= self._next_uid:
             new_cap *= 2
-        pad_n = new_cap - self._cap
         for name, fill in (("f_has_var", False), ("f_is_one", False),
                            ("f_top_inv", False), ("f_is_coord", False),
                            ("u_op", -1), ("u_a", -1), ("u_b", -1),
                            ("u_depth", 0)):
             arr = getattr(self, name)
-            pad = np.full(pad_n, fill, dtype=arr.dtype)
-            setattr(self, name, np.concatenate([arr, pad]))
+            # 2 MiB-page-backed, pre-faulted allocation: a plain
+            # np.concatenate doubling faults every fresh 4 KiB page,
+            # which on slow-fault virtualized hosts was 43 s of a
+            # laplace depth-6 register stage (PDE_INGEST_TIMERS)
+            grown = hugepage_array(new_cap, arr.dtype, fill)
+            grown[:self._cap] = arr
+            setattr(self, name, grown)
         self._cap = new_cap
 
     def _is_coordinate_like(self, u: Unique) -> bool:
