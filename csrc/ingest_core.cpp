@@ -515,17 +515,36 @@ struct ExprArena {
         while (nc < len + need) nc <<= 1;
 #ifdef __linux__
         if (fd >= 0) {
-            if (ftruncate(fd, (off_t)nc) != 0) {
-                perror("ExprArena spill: ftruncate");
-                abort();  // same contract as realloc failure: the run
-            }             // DB is durable and resumable
-            void* nb = cap
-                ? mremap(buf, cap, nc, MREMAP_MAYMOVE)
-                : mmap(nullptr, nc, PROT_READ | PROT_WRITE, MAP_SHARED,
-                       fd, 0);
+            void* nb = MAP_FAILED;
+            if (ftruncate(fd, (off_t)nc) == 0) {
+                nb = cap
+                    ? mremap(buf, cap, nc, MREMAP_MAYMOVE)
+                    : mmap(nullptr, nc, PROT_READ | PROT_WRITE,
+                           MAP_SHARED, fd, 0);
+            }
             if (nb == MAP_FAILED) {
-                perror("ExprArena spill: mmap");
-                abort();
+                // Spill-device failure — typically ENOSPC on the spill
+                // directory, the very resource this feature trades RAM
+                // for.  Degrade to an anonymous RAM buffer instead of
+                // killing a multi-day mega-run (ADVICE.md round 3):
+                // copy the live bytes, drop the mapping, and continue
+                // unspilled (growth falls through to realloc below).
+                perror("ExprArena spill: ftruncate/mremap failed; "
+                       "degrading string arena to RAM");
+                char* heap = (char*)malloc(nc);
+                if (!heap) {
+                    perror("ExprArena spill fallback: malloc");
+                    abort();  // truly out of both disk and RAM: the run
+                }             // DB is durable and resumable
+                if (buf) {
+                    memcpy(heap, buf, len);
+                    munmap(buf, cap);
+                }
+                close(fd);
+                fd = -1;
+                buf = heap;
+                cap = nc;
+                return;
             }
             buf = (char*)nb;
             cap = nc;
@@ -782,13 +801,29 @@ static EjTables* ej_tables(int order) {
     return cache[order];
 }
 
-// out = a * b truncated (same accumulation order as jets.jet_mul)
+// out = a * b truncated — SYMMETRIZED accumulation, the exact grouping
+// of jets.jet_mul (swap_safe=False): pair p is summed with its
+// operand-swapped mirror m-1-p first, then groups accumulate in order
+// and an odd middle term is added last.  Keeping the f64 oracle on the
+// same association order as the NumPy mirror preserves the byte-level
+// agreement tests/test_native.py checks.
 static inline void ej_mul(const EjTables* t, const double* a,
                           const double* b, double* out) {
     for (int k = 0; k < t->T; ++k) {
-        double acc = a[t->pairs[k][0][0]] * b[t->pairs[k][0][1]];
-        for (int p = 1; p < t->n_pairs[k]; ++p)
-            acc += a[t->pairs[k][p][0]] * b[t->pairs[k][p][1]];
+        const int m = t->n_pairs[k];
+        double acc = 0.0;
+        for (int p = 0; p < m / 2; ++p) {
+            const double x = a[t->pairs[k][p][0]] * b[t->pairs[k][p][1]];
+            const double y = a[t->pairs[k][m - 1 - p][0]]
+                           * b[t->pairs[k][m - 1 - p][1]];
+            const double term = x + y;
+            acc = (p == 0) ? term : acc + term;
+        }
+        if (m % 2) {
+            const int p = m / 2;
+            const double mid = a[t->pairs[k][p][0]] * b[t->pairs[k][p][1]];
+            acc = (m == 1) ? mid : acc + mid;
+        }
         out[k] = acc;
     }
 }

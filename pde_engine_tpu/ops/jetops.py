@@ -86,7 +86,10 @@ def apply_surface_op(name: str, a, b, order: int, xp):
     if name == "sub":
         return a - b
     if name == "mul":
-        return jet_mul(a, b, order, xp)
+        # order 1 == the fingerprint path: the dedup key lattice needs
+        # bitwise swap symmetry under commutative reorientation, which
+        # FMA contraction would break (see jets.jet_mul swap_safe)
+        return jet_mul(a, b, order, xp, swap_safe=(order == 1))
     if name == "div":
         return jet_mul(a, _pow(b, Fraction(-1), order, xp), order, xp)
     if name == "geom_sum":

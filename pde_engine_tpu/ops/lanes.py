@@ -102,6 +102,18 @@ class LanesNS:
         return jnp.ones_like(x)
 
     @staticmethod
+    def minimum(x, y):
+        if isinstance(x, (float, int)) and isinstance(y, (float, int)):
+            return min(x, y)
+        return jnp.minimum(x, y)
+
+    @staticmethod
+    def maximum(x, y):
+        if isinstance(x, (float, int)) and isinstance(y, (float, int)):
+            return max(x, y)
+        return jnp.maximum(x, y)
+
+    @staticmethod
     def sqrt(x):
         return math.sqrt(x) if isinstance(x, (float, int)) else jnp.sqrt(x)
 

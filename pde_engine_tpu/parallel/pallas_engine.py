@@ -35,7 +35,8 @@ from ..ops.jets import n_coeffs
 from ..ops.lanes import (from_lane_major, lanes, lj_from_ref, lj_store,
                          to_lane_major)
 from .search import (_RESIDUALS, pack_screen_result,
-                     pack_screen_result_compact, verdicts_from_parts)
+                     pack_screen_result_compact, snap_fp_jets,
+                     verdicts_from_parts)
 
 TILE = 512
 
@@ -270,7 +271,9 @@ def make_pallas_universal_kernel(order: int, residual_key: str,
             op_id, [branch(r) for r in runners],
             (points3, a_s, a_f, b_s, b_f))
         jets = from_lane_major(out_s_lm, P, T).reshape(n, P, T)
-        fj = from_lane_major(out_f_lm, F, 3).reshape(n, F, 3)
+        # grid-snap the fingerprint jets before verdicts/keys and before
+        # they become cache rows (search.snap_fp_jets)
+        fj = snap_fp_jets(from_lane_major(out_f_lm, F, 3).reshape(n, F, 3))
         sr = verdicts_from_parts(res.T, scale.T, jets, fj, screen_rtol)
         packed = (pack_screen_result_compact(sr) if compact
                   else pack_screen_result(sr))
@@ -341,6 +344,9 @@ def make_pallas_segmented_kernel(order: int, residual_key: str,
 
         s_cols, f_cols = jax.lax.switch(
             op, [branch(n) for n in OP_ORDER], 0)
+        # grid-snap fingerprint jets in-kernel (search.snap_fp_jets):
+        # keys and cache rows must both see the snapped values
+        f_cols = tuple(snap_fp_jets(c) for c in f_cols)
         out_s = lanes.stack(list(s_cols), axis=-1)
         out_f = lanes.stack(list(f_cols), axis=-1)
         pts = points_ref[:]
@@ -487,6 +493,7 @@ def make_pallas_structured_kernel(order: int, residual_key: str,
 
         s_cols, f_cols = jax.lax.switch(
             op, [branch(nm) for nm in OP_ORDER], 0)
+        f_cols = tuple(snap_fp_jets(c) for c in f_cols)  # grid snap
         out_s = lanes.stack(list(s_cols), axis=-1)
         out_f = lanes.stack(list(f_cols), axis=-1)
         pts = points_ref[:]
@@ -638,6 +645,7 @@ def make_pallas_tiled_kernel(order: int, residual_key: str,
             branches.append(branch(nm, 0))
             branches.append(branch(nm, 1))
         s_cols, f_cols = jax.lax.switch(ok, branches, 0)
+        f_cols = tuple(snap_fp_jets(c) for c in f_cols)  # grid snap
         out_s = lanes.stack(list(s_cols), axis=-1)
         out_f = lanes.stack(list(f_cols), axis=-1)
         pts = points_ref[:]

@@ -196,7 +196,14 @@ def hugepage_array(n: int, dtype, fill) -> np.ndarray:
     plain np.concatenate doubling of a ~700 MB registry burns tens of
     seconds in faults alone (measured: 43 s of a laplace depth-6
     register stage).  2 MiB pages cut the fault count 512×.  Falls back
-    to np.full when mmap.madvise/MADV_HUGEPAGE is unavailable."""
+    to np.full when mmap.madvise/MADV_HUGEPAGE is unavailable.
+
+    Overhead note (ADVICE.md round 3): each array maps nbytes + 2 MiB and
+    the leading alignment slack is never trimmed, so a registry of eight
+    SoA arrays wastes ~16 MiB per growth generation until the superseded
+    mmaps are garbage-collected — noise against the multi-GB arrays this
+    is used for, and the old generation is dropped by the caller right
+    after the copy anyway."""
     import mmap as _mmap
 
     dt = np.dtype(dtype)
@@ -349,6 +356,17 @@ def eval_jets_native(tapes: np.ndarray, lengths: np.ndarray,
     tapes = np.ascontiguousarray(tapes, dtype=np.int32)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     consts = np.ascontiguousarray(consts, dtype=np.float64)
+    # bounds guard: a CONST row indexing past the consts snapshot would
+    # be a SILENT out-of-bounds read in C (zeros, not a crash — bug class
+    # found in round 4: parse() interns new constants, so a consts array
+    # snapshot taken before parsing can be stale)
+    from ..ops.optable import CONST
+    cmask = tapes[:, :, 0] == CONST
+    if cmask.any() and int(tapes[:, :, 2][cmask].max()) >= consts.size:
+        raise IndexError(
+            f"tape CONST index {int(tapes[:, :, 2][cmask].max())} out of "
+            f"bounds for consts table of size {consts.size} — snapshot "
+            "problem.consts AFTER parsing/composing the tapes")
     points = np.ascontiguousarray(points, dtype=np.float64)
     n, L, _ = tapes.shape
     P = points.shape[0]

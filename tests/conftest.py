@@ -19,8 +19,14 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"  # the harness presets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in flags:
+    # LLVM fast-math breaks the bitwise swap-symmetry of the jet algebra
+    # that the fingerprint dedup keys rely on (tests/test_fp_snap.py);
+    # pde_engine_tpu/__init__ sets this too, but tests must not depend on
+    # import order
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402  (sitecustomize may have imported it already)
 

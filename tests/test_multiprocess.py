@@ -287,11 +287,11 @@ def test_two_process_sharded_registry(tmp_path):
     ref_n = ref.engine.enumerator.count_uniques()
     ref.close()
     assert d0["valid"] == ref_valid
-    # unique counts may differ by a handful of fingerprint-quantization
-    # boundary cases between the shard_mapped and unsharded kernels (f32
-    # rounding differs across compiled layouts); the verdict-bearing
-    # content (valid set) must match exactly, the dedup volume within 1%
-    assert abs(d0["uniques"] - ref_n) <= max(2, ref_n // 100)
+    # EXACT since round 4: fingerprint jets are grid-snapped before keys
+    # and cache rows (search.snap_fp_jets), and products of snapped
+    # values are exact in f32, so the key lattice cannot shift between
+    # the shard_mapped and unsharded kernels (tests/test_fp_snap.py)
+    assert d0["uniques"] == ref_n
 
     # the writer DB agrees
     import sqlite3

@@ -32,9 +32,15 @@ CANARIES = [
 ]
 
 
-def _canary_key(problem, expr_str: str) -> int:
-    """Fingerprint dedup key of an expression via the f64 oracle (the
-    same tolerance-compatible quantization the device path uses)."""
+def _canary_vals(problem, expr_str: str) -> np.ndarray:
+    """Fingerprint VALUES of an expression via the f64 oracle, after
+    asserting it passes its own screen.  Since the grid snap
+    (search.snap_fp_jets), engine dedup KEYS are a function of the
+    snapped-parent composition chain, not of a direct evaluation — a
+    direct-oracle key can land one quantization cell over — so canaries
+    are located by value tolerance + SymPy equality (the same discipline
+    as the engine's knowns matching, pipeline._match_known), and the key
+    path is asserted via the engine's own stored signature instead."""
     from pde_engine_tpu.ops.interpreter import eval_jets_np_many
     from pde_engine_tpu.parallel.search import verdicts_from_jets_np
 
@@ -51,8 +57,7 @@ def _canary_key(problem, expr_str: str) -> int:
                                float(problem.screen_rtol))
     assert bool(sr.screen_ok[0]), f"canary {expr_str} fails its own screen"
     assert bool(sr.fp_finite[0])
-    return int(((np.uint64(sr.fp_a[0]) << np.uint64(32))
-                | np.uint64(sr.fp_b[0])) & np.uint64(FP_MASK))
+    return np.asarray(fj[0], np.float64).ravel()
 
 
 def test_no_audit_stream_recovers_planted_canaries():
@@ -66,12 +71,26 @@ def test_no_audit_stream_recovers_planted_canaries():
              if r.paper_solution_name}
     assert len(found) == 7, sorted(found)
 
-    # every planted canary survives: its fingerprint key maps to a unique
-    # whose row is stored valid
-    valid_ids = {r.id for r in eng.valid_rows}
+    # every planted canary survives as a stored valid row: located by
+    # fingerprint-value tolerance, confirmed by exact SymPy equality
+    # (representative spellings legitimately differ), and the winning
+    # row's stored dedup key must map back to its own uid in the engine's
+    # map (the key-location path, tested on the engine's OWN snapped
+    # values so it cannot drift with the quantization grid)
+    import sympy as sp
     for expr in CANARIES:
-        key = _canary_key(p, expr)
-        uid = eng.fp_to_uid.get(key)
-        assert uid is not None, f"canary {expr} missing from dedup map"
-        assert uid + 1 in valid_ids, \
-            f"canary {expr} (uid {uid}) not stored as a valid row"
+        vals = _canary_vals(p, expr)
+        u_canary = p.tape_to_sympy(p.parse(expr))
+        hit = None
+        for r in eng.valid_rows:
+            row_fp = np.asarray(eng.cache.fp[r.id - 1], np.float64)
+            if np.max(np.abs(row_fp - vals) / (np.abs(vals) + 1.0)) < 1e-3:
+                u_row = p.tape_to_sympy(p.parse(r.expression))
+                if sp.simplify(u_row - u_canary) == 0:
+                    hit = r
+                    break
+        assert hit is not None, \
+            f"canary {expr} not recovered as a stored valid row"
+        key = int(hit.signature, 16)  # fp-finite: already FP_MASKed
+        assert eng.fp_to_uid.get(key) == hit.id - 1, \
+            f"canary {expr}: stored key does not map to its own uid"
