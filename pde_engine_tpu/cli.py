@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=None,
                    help="candidates per device dispatch (default: auto — "
-                        "65536 on accelerators, 16384 on CPU)")
+                        "262144 on accelerators, 16384 on CPU)")
     p.add_argument("--validators", type=int, default=0,
                    help="(compat) ignored — validation is on-device")
     p.add_argument("--devices", type=int, default=None,
@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Symbolically verify residual == 0 for stored rows")
     p.add_argument("--verify-scope", choices=["novel", "valid", "all"],
                    default="novel")
+    p.add_argument("--verify-limit", type=int, default=None,
+                   help="Verify at most N rows (shortest-first; SymPy "
+                        "proofs are ~0.1-1 s/row — cap this on mega-runs)")
+    p.add_argument("--heavy-limit", type=int, default=None,
+                   help="Heavy-validate at most N rows (shortest-first "
+                        "sampled pass for mega-run DBs)")
     p.add_argument("--find-monopole", action="store_true")
     p.add_argument("--monopole-target", choices=["either", "1-x", "x"],
                    default="either")
@@ -99,6 +105,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "PDE_ENGINE_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID "
                         "or rely on pod auto-detection) and shard over the "
                         "global mesh")
+    p.add_argument("--shard-cache", action="store_true",
+                   help="With --devices: shard the device jet cache by "
+                        "uid range across the mesh (chip d holds cache "
+                        "rows [d*C/K, (d+1)*C/K); operand rows are "
+                        "reconstructed per batch with one fused psum), so "
+                        "the parent window scales to K * --max-cache-rows "
+                        "with NO truncation instead of capping at one "
+                        "chip's HBM")
     p.add_argument("--shard-registry", action="store_true",
                    help="With --multihost: shard the host-side registry "
                         "across processes — each host's dedup map holds "
@@ -132,8 +146,13 @@ def main(argv=None) -> int:
         defer_heavy_checks=not args.heavy_checks,
         audit_rejects=not args.no_audit_rejects,
         shard_registry=args.shard_registry,
+        shard_cache=args.shard_cache,
         spill_strings=args.spill_strings,
     )
+    if args.shard_cache and not (args.devices or args.multihost):
+        print("error: --shard-cache requires a mesh (--devices N)",
+              flush=True)
+        return 2
     if args.max_cache_rows is not None:
         config.max_cache_rows = args.max_cache_rows
 
@@ -201,14 +220,16 @@ def main(argv=None) -> int:
                            run_id=args.print_run_id, db_path=db_path)
         run.print_report_from_db()
         if args.verify_pde:
-            run.verify_pde_from_db(scope=args.verify_scope)
+            run.verify_pde_from_db(scope=args.verify_scope,
+                                   limit=args.verify_limit)
         if args.find_monopole:
             run.find_monopole_extensions(scope=args.verify_scope,
                                          target=args.monopole_target)
         if args.audit_kerr:
             run.audit_kerr_candidates(scope=args.verify_scope)
         if args.heavy_validate:
-            run.heavy_validate_from_db(scope=args.verify_scope)
+            run.heavy_validate_from_db(scope=args.verify_scope,
+                                       limit=args.heavy_limit)
         if args.certify:
             run.certify_from_db(scope=args.verify_scope,
                                 limit=args.certify_limit)

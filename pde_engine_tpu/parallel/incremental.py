@@ -27,7 +27,7 @@ from ..ops.jetops import BINARY_NAMES, UNARY_NAMES, apply_surface_op
 from ..ops.jets import n_coeffs
 from .search import (ScreenResult, _RESIDUALS, _fold_hash, _quantize,
                      pack_screen_result, pack_screen_result_compact,
-                     verdicts_from_jets)
+                     snap_fp_jets, verdicts_from_jets)
 
 
 # Fixed branch order of the universal kernel's lax.switch.
@@ -45,30 +45,54 @@ class JetCache:
 
     def __init__(self, n_screen: int, t_screen: int, n_fp: int,
                  initial_capacity: int = 1 << 14, dtype=jnp.float32,
-                 grow_quantum: Optional[int] = None):
+                 grow_quantum: Optional[int] = None, sharding=None):
         self.sdim = n_screen * t_screen
         self.fdim = n_fp * 3
         self.n = 0
-        self.capacity = initial_capacity
         self.dtype = dtype
+        # Optional uid-range sharding (SearchConfig.shard_cache): rows are
+        # split contiguously across the mesh's candidate axis so the
+        # parent window scales with the pod instead of one chip's HBM.
+        # Capacity then stays a multiple of the mesh size (the uid-range
+        # kernel slices capacity/K rows per device).
+        self.sharding = sharding
+        self._row_quantum = 1
+        if sharding is not None:
+            self._row_quantum = int(sharding.mesh.devices.size)
+        rq = self._row_quantum
+        initial_capacity = -(-initial_capacity // rq) * rq
+        self.capacity = initial_capacity
         # Capacity growth quantum.  Every distinct capacity is a distinct
         # operand shape for the (large) universal op kernel — on a
         # tunneled TPU each new shape costs a multi-second executable
         # load even on a persistent-cache hit, so capacities move in big
         # aligned steps instead of doubling from a small base.
-        self.grow_quantum = grow_quantum or 4 * initial_capacity
-        self.screen = jnp.zeros((initial_capacity, self.sdim), dtype=dtype)
-        self.fp = jnp.zeros((initial_capacity, self.fdim), dtype=dtype)
+        self.grow_quantum = -(-(grow_quantum or 4 * initial_capacity)
+                              // rq) * rq
+        self.screen = self._alloc((initial_capacity, self.sdim))
+        self.fp = self._alloc((initial_capacity, self.fdim))
+
+    def _alloc(self, shape):
+        if self.sharding is None:
+            return jnp.zeros(shape, dtype=self.dtype)
+        return jax.device_put(jnp.zeros(shape, dtype=self.dtype),
+                              self.sharding)
 
     def _grow(self, need: int):
         q = self.grow_quantum
         new_cap = max(self.capacity * 2, -(-need // q) * q)
+        new_cap = -(-new_cap // self._row_quantum) * self._row_quantum
         pad_s = jnp.zeros((new_cap - self.capacity, self.sdim),
                           dtype=self.dtype)
         pad_f = jnp.zeros((new_cap - self.capacity, self.fdim),
                           dtype=self.dtype)
         self.screen = jnp.concatenate([self.screen, pad_s], axis=0)
         self.fp = jnp.concatenate([self.fp, pad_f], axis=0)
+        if self.sharding is not None:
+            # growth is rare (big aligned quanta); one reshard restores
+            # the contiguous uid-range layout at the new capacity
+            self.screen = jax.device_put(self.screen, self.sharding)
+            self.fp = jax.device_put(self.fp, self.sharding)
         self.capacity = new_cap
 
     def append(self, screen_rows, fp_rows,
@@ -185,6 +209,10 @@ def make_universal_kernel_raw(order: int, residual_key: str,
         out_s, out_f = jax.lax.switch(
             op_id, [branch(n) for n in OP_ORDER], (a_s, a_f, b_s, b_f))
 
+        # snap the fingerprint jets onto the dedup quantization grid
+        # BEFORE verdicts/keys and before they become cache rows — makes
+        # the key lattice invariant under emission order (search.py)
+        out_f = snap_fp_jets(out_f)
         sr = verdicts_from_jets(out_s, out_f, spoints, residual_fn,
                                 screen_rtol)
         packed = (pack_screen_result_compact(sr) if compact

@@ -220,12 +220,19 @@ class DiscoveryEngine:
             include_special_ops=self.config.include_special_ops,
             prune=self.config.prune,
             spill_dir=self.config.spill_strings)
-        if (self.config.spill_strings is not None
-                and self.enumerator.arena is not None
-                and not self.enumerator.arena.spilled):
-            print(f"  [mem] string-arena spill to "
-                  f"{self.config.spill_strings} unavailable; strings "
-                  "stay in RAM", flush=True)
+        if self.config.spill_strings is not None:
+            if self.enumerator.arena is None:
+                # the native core failed to load entirely — without this
+                # notice --spill-strings is silently ignored (ADVICE.md
+                # round 3) and a mega-run would hit the Python string
+                # path's RAM ceiling unannounced
+                print("  [mem] --spill-strings ignored: native string "
+                      "arena unavailable (C core not loaded); strings "
+                      "stay on the Python path", flush=True)
+            elif not self.enumerator.arena.spilled:
+                print(f"  [mem] string-arena spill to "
+                      f"{self.config.spill_strings} unavailable; strings "
+                      "stay in RAM", flush=True)
         if self.config.use_native is False:
             self.enumerator.arena = None  # exercise the Python string path
             self.enumerator.allow_native_tapes = False
@@ -299,12 +306,35 @@ class DiscoveryEngine:
         # persistent compile cache).  ~550 B/row ⇒ 1M rows ≈ 0.55 GB HBM.
         import jax as _jax
         on_accel = _jax.default_backend() not in ("cpu",)
+        # uid-range cache sharding (SearchConfig.shard_cache): the cache
+        # arrays live SPLIT across the mesh (chip d holds rows
+        # [d*C/K, (d+1)*C/K)) and _op_kernel routes onto the uid-range
+        # kernel, so the parent window scales to mesh_size *
+        # max_cache_rows with no truncation
+        self._cache_sharded = bool(self.config.shard_cache
+                                   and mesh is not None)
+        if self.config.shard_cache and mesh is None:
+            raise ValueError("shard_cache requires a mesh "
+                             "(--devices N / DiscoveryEngine(mesh=...))")
+        if self._cache_sharded and _jax.process_count() > 1:
+            raise ValueError("shard_cache + multihost is not supported "
+                             "yet; use --shard-registry for multi-host "
+                             "memory scaling")
+        cache_sharding = None
+        if self._cache_sharded:
+            from .parallel.mesh import shard_batch
+            cache_sharding = shard_batch(mesh)
+        # the parent-window budget is per chip; a sharded cache holds
+        # mesh_size slices of that size
+        self.cache_row_limit = self.config.max_cache_rows * (
+            int(mesh.devices.size) if self._cache_sharded else 1)
         self.cache = JetCache(
             n_screen=len(problem.screen_points),
             t_screen=n_coeffs(problem.residual_order),
             n_fp=len(problem.fingerprint_points),
             initial_capacity=(1 << 20) if on_accel else (1 << 14),
-            grow_quantum=(1 << 20) if on_accel else None)
+            grow_quantum=(1 << 20) if on_accel else None,
+            sharding=cache_sharding)
         self._known_fp: Dict[str, np.ndarray] = {}
         self._known_sympy = {}
         self.candidates_screened = 0
@@ -354,6 +384,13 @@ class DiscoveryEngine:
                 # ingests identically (parallel/distributed.py)
                 from .parallel.distributed import make_op_kernel_multihost
                 return make_op_kernel_multihost(self.mesh, op_name, **kw)
+            if self._cache_sharded:
+                # uid-range-sharded cache: chip d holds cache rows
+                # [d*C/K, (d+1)*C/K); operand rows are reconstructed per
+                # batch with one fused psum (the >1-chip HBM answer to
+                # the parent-window cap, SearchConfig.shard_cache)
+                from .parallel.incremental import make_op_kernel_uidrange
+                return make_op_kernel_uidrange(self.mesh, op_name, **kw)
             from .parallel.incremental import make_op_kernel_sharded
             return make_op_kernel_sharded(self.mesh, op_name, **kw)
         # single-device path: compact verdict packing (12 B/candidate —
@@ -443,8 +480,10 @@ class DiscoveryEngine:
                     self.problem.residual_fn, float(self.screen_rtol))
                 out_s = jnp.asarray(
                     jets.reshape(jets.shape[0], -1).astype(np.float32))
-                out_f = jnp.asarray(
-                    fj.reshape(fj.shape[0], -1).astype(np.float32))
+                # cache rows must carry the grid-SNAPPED fingerprint jets
+                # (sr.fp_vals — see search.snap_fp_jets), same as the
+                # device kernels' rows
+                out_f = jnp.asarray(sr.fp_vals.astype(np.float32))
                 self.candidates_screened += len(group)
                 yield group, sr, out_s, out_f
 
@@ -479,9 +518,13 @@ class DiscoveryEngine:
         t0 = time.perf_counter()
         ab_d = jnp.asarray(ab)
         if self.mesh is not None:
-            # explicit shard_map over the candidates axis (replicated
-            # cache, psum'd survivor count) — the flagship multi-chip path
-            ab_d = jax.device_put(ab_d, shard_batch(self.mesh))
+            # explicit shard_map over the candidates axis — the flagship
+            # multi-chip path.  Replicated cache: the batch is sharded.
+            # uid-range-sharded cache: every device needs the whole index
+            # list to serve its cache slice, so ab is replicated.
+            ab_d = jax.device_put(
+                ab_d, replicated(self.mesh) if self._cache_sharded
+                else shard_batch(self.mesh))
             packed, out_s, out_f, n_pass = self._op_kernel(op_name)(
                 self.cache.screen, self.cache.fp, ab_d,
                 self._spoints, self._fpoints)
@@ -831,7 +874,7 @@ class DiscoveryEngine:
             # (uids are consecutive in batch order, so the cache
             # invariant rows == uids [0, cache.n) survives a
             # partial append)
-            room = self.config.max_cache_rows - self.cache.n
+            room = self.cache_row_limit - self.cache.n
             if room > 0:
                 self._append_kept(out_s, out_f,
                                   new_idx[:room].tolist())
@@ -1363,7 +1406,7 @@ class DiscoveryEngine:
                     retain_strings=(depth < max_depth),
                     row_offset=start, defer_append_to=kept)
             if kept and append_ok():
-                room = self.config.max_cache_rows - self.cache.n
+                room = self.cache_row_limit - self.cache.n
                 if room > 0:
                     self._append_kept(out_s, out_f, kept[:room])
             st.t_ingest += time.perf_counter() - ti
@@ -1563,11 +1606,15 @@ class DiscoveryEngine:
             elif use_incremental:
                 if self.cache.n < self.enumerator.count_uniques():
                     trunc = self.enumerator.count_uniques() - self.cache.n
+                    fix = ("raise --max-cache-rows or add chips"
+                           if self._cache_sharded else
+                           "run with --devices K --shard-cache to split "
+                           "the cache across a mesh (parent window scales "
+                           "to K * max_cache_rows)")
                     print(f"  [hbm] parent window truncated: {trunc} of "
                           f"{self.enumerator.count_uniques()} uniques "
-                          "exceed max_cache_rows and are not composed "
-                          "deeper on this chip (full coverage: uid-range "
-                          "sharded mesh path)", flush=True)
+                          "exceed the cache budget and are not composed "
+                          f"deeper ({fix})", flush=True)
                 if self._use_segmented():
                     self._run_depth_segmented(depth, max_depth, st,
                                               on_row, on_rows, on_batch)
@@ -1699,8 +1746,16 @@ class DiscoveryEngine:
         if snapshot is not None:
             n0 = min(int(snapshot["n"]), total)
             if n0:
-                self.cache.load_rows(snapshot["screen"][:n0],
-                                     snapshot["fp"][:n0])
+                # fp rows written by the current code are already
+                # grid-snapped; snapping on load is idempotent and
+                # restores the rows-are-on-grid invariant for sidecars
+                # written before the snap existed (their stored KEYS
+                # remain authoritative either way — see search.snap_fp_jets)
+                from .parallel.search import snap_fp_jets_np
+                self.cache.load_rows(
+                    snapshot["screen"][:n0],
+                    snap_fp_jets_np(np.asarray(snapshot["fp"][:n0],
+                                               np.float32)))
         if n0 < total:
             if total > self.cache.capacity:
                 self.cache._grow(total)

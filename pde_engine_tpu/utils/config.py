@@ -12,12 +12,14 @@ from typing import Optional, Tuple
 class SearchConfig:
     max_depth: int = 4
     # Candidates per device dispatch (the segmented superbatch rounds it
-    # down to a 512-row tile multiple).  None = auto: 65536 on
+    # down to a 512-row tile multiple).  None = auto: 262144 on
     # accelerator backends — each dispatch costs a fixed host round trip
     # (~27 ms through the axon tunnel) so fewer, larger batches amortize
-    # it, and the kernel workspace is only ~2 KB/candidate — and 16384
-    # on CPU, where the XLA oracle path dominates and big batches just
-    # slow the test suite.
+    # it, the kernel workspace is only ~2 KB/candidate, and 262144 is the
+    # shape every recorded mega-run and the persistent compile cache use
+    # (a fresh shape costs a 300-400 s remote Mosaic compile for the
+    # order-4 kernels) — and 16384 on CPU, where the XLA oracle path
+    # dominates and big batches just slow the test suite.
     batch_size: Optional[int] = None
     include_special_ops: bool = True
     prune: bool = True
@@ -168,12 +170,26 @@ class SearchConfig:
     # DB / registry sidecar).
     spill_strings: Optional[str] = None
 
-    # Hard HBM budget for the device jet cache, in rows (~550 B/row at
-    # order 4).  Mid-depth uniques beyond this cap are still screened,
-    # stored, and deduplicated — they just never become PARENTS of deeper
-    # candidates on this chip (the run logs the truncated parent window).
-    # 20M rows ≈ 11 GB, inside a v5e's 16 GB with batch workspace.  Full
-    # parent coverage at 10^8-unique scale is the uid-range-sharded mesh
-    # path (parallel/incremental.make_op_kernel_uidrange): K chips hold
-    # contiguous cache slices, so the budget scales with the pod.
+    # Hard HBM budget for the device jet cache, in rows PER CHIP
+    # (~550 B/row at order 4).  Mid-depth uniques beyond the budget are
+    # still screened, stored, and deduplicated — they just never become
+    # PARENTS of deeper candidates (the run logs the truncated parent
+    # window).  20M rows ≈ 11 GB, inside a v5e's 16 GB with batch
+    # workspace.  With ``shard_cache`` the budget scales with the mesh:
+    # K chips hold contiguous uid-range slices, so the effective parent
+    # window is K * max_cache_rows.
     max_cache_rows: int = 20_000_000
+
+    # Shard the device jet cache by uid range across the mesh
+    # (parallel/incremental.make_op_kernel_uidrange): chip d holds cache
+    # rows [d*C/K, (d+1)*C/K), each batch reconstructs its operand rows
+    # with a masked local gather + one fused psum over ICI, and each chip
+    # screens its slice of the batch.  This is how a pod exceeds the
+    # single-chip HBM parent-window cap (max_cache_rows) WITHOUT
+    # truncation — the reference has no analog (its validator pool shares
+    # one process's memory, general:801-823).  Requires a mesh
+    # (``--devices``/DiscoveryEngine(mesh=...)); single-process only
+    # (combine with --multihost is not supported).  Off by default: the
+    # replicated cache skips the per-batch operand psum, which is faster
+    # whenever the uniques fit one chip.
+    shard_cache: bool = False

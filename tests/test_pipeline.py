@@ -140,6 +140,49 @@ def test_mesh_sharded_run_matches_unsharded():
     assert int(e2.mesh_survivors) >= 0
 
 
+def test_shard_cache_run_exceeds_per_chip_window():
+    """--shard-cache e2e (VERDICT round 3 missing #1): an 8-device run
+    whose uniques EXCEED the per-chip max_cache_rows must compose every
+    unique deeper — NO parent-window truncation — and match an
+    untruncated single-device run exactly.  laplace depth 3 has ~1.5k
+    uniques; per-chip budget 256 would truncate a replicated-cache run,
+    but 8 uid-range shards give an effective window of 2048."""
+    from pde_engine_tpu.parallel.mesh import CANDIDATE_AXIS, candidate_mesh
+    from jax.sharding import PartitionSpec
+
+    p1 = load_problem("laplace")
+    ref = DiscoveryEngine(p1, SearchConfig(max_depth=3))
+    ref.run(3)
+    assert ref.cache.n == ref.enumerator.count_uniques()  # untruncated
+
+    p2 = load_problem("laplace")
+    cfg = SearchConfig(max_depth=3, max_cache_rows=256, shard_cache=True)
+    eng = DiscoveryEngine(p2, cfg, mesh=candidate_mesh(8))
+    eng.run(3)
+
+    # per-chip budget exceeded, mesh budget not: full parent window
+    n_uniq = eng.enumerator.count_uniques()
+    assert n_uniq > 256, "test premise: uniques must exceed one chip"
+    assert eng.cache_row_limit == 256 * 8
+    assert eng.cache.n == n_uniq, "parent window must NOT truncate"
+
+    # identical search content (keys are emission/kernel-layout invariant
+    # since the fingerprint grid snap — tests/test_fp_snap.py)
+    assert [s.unique for s in ref.stats] == [s.unique for s in eng.stats]
+    assert [s.candidates for s in ref.stats] == \
+        [s.candidates for s in eng.stats]
+    assert sorted(r.signature for r in ref.valid_rows) == \
+        sorted(r.signature for r in eng.valid_rows)
+
+    # the cache arrays really are row-sharded across the mesh (the HBM
+    # scaling claim), and survived appends/growth with that layout
+    spec = eng.cache.screen.sharding.spec
+    assert spec == PartitionSpec(CANDIDATE_AXIS) or (
+        len(spec) >= 1 and spec[0] == CANDIDATE_AXIS), spec
+    assert eng.cache.capacity % 8 == 0
+    assert getattr(eng, "mesh_survivors", None) is not None
+
+
 def test_max_cache_rows_bounds_parent_window():
     """With a tiny HBM budget the engine must keep running: uniques
     beyond the cap are screened/stored but never composed deeper, so the
