@@ -86,6 +86,14 @@ class ForceFreeProblem(Problem):
         prim_exprs = [rho, z, rho**2 + z**2, rho / z, sp.Integer(1)]
         self.primitives = [self.compile_sympy(e) for e in prim_exprs]
         self.primitive_strs = [str(e) for e in prim_exprs]
+        # mega-run family breakdown (utils/families): any z-independent
+        # u(rho) foliates trivially — the Lie-bracket terms vanish
+        # identically (u_z ≡ 0 ⇒ det ≡ 0), so the dominant share of a
+        # deep valid set is this ONE physical statement
+        self.family_notes = {
+            "no_z": "degenerate: det ≡ 0 identically for any u(rho)",
+            "no_rho": "degenerate: u(z)-only foliation",
+        }
 
     # -- SymPy residual (exact confirm / --verify-pde) -------------------
     def sympy_residual(self, u):

@@ -125,6 +125,38 @@ class GradShafranovProblem(Problem):
         return (sp.diff(u, rho, 2) - sp.diff(u, rho) / rho
                 + sp.diff(u, z, 2))
 
+    # ------------------------------------------------------------------
+    # Axis regularity (VERDICT round 3 weak #7): a physical flux surface
+    # is even in rho near the axis — u finite and u_rho/rho bounded as
+    # rho -> 0 (u ~ u_axis + c(z) rho^2 + ...).  1/rho- and log(rho)-type
+    # fluxes satisfy the homogeneous residual but are axis-singular; the
+    # reference enforces the analogous per-problem regularity in its
+    # force-free validator (force_free/validator.py:288-293).
+    # ------------------------------------------------------------------
+
+    # numeric probes for the array-level family tagger (utils/families):
+    # two rho-decades on the axis approach at fixed z
+    family_probe_points = np.array([[1e-3, 0.4], [1e-4, 0.4]],
+                                   dtype=np.float64)
+    family_extra_name = "axis_singular"
+    family_notes = {
+        "axis_singular": ("satisfies Δ*u = 0 but u or u_rho/rho is "
+                          "unbounded on the axis — unphysical flux"),
+    }
+
+    @staticmethod
+    def family_extra_tag(vals, fj, aj):
+        """Rows whose u_rho/rho GROWS between rho=1e-3 and rho=1e-4 (i.e.
+        leading power < 2: 1/rho^k, log rho, odd-in-rho fluxes), or whose
+        axis-probe jets are non-finite.  u ~ rho^2 gives a constant
+        ratio; u ~ rho^4 a shrinking one; exact zeros never flag."""
+        with np.errstate(all="ignore"):
+            nonfin = ~np.isfinite(aj).all(axis=(1, 2))
+            r0 = np.abs(aj[:, 0, 1]) / 1e-3
+            r1 = np.abs(aj[:, 1, 1]) / 1e-4
+            growing = (r1 > 5.0 * (r0 + 1e-300)) & (r1 > 1e-6)
+        return nonfin | growing
+
     def heavy_checks(self, u) -> Tuple[bool, str]:
         import sympy as sp
         rho, z = self.sympy_vars()
@@ -133,6 +165,20 @@ class GradShafranovProblem(Problem):
                 return False, "Zero gradient (constant expression)"
         except Exception:
             pass
+        # symbolic axis regularity: u and u_rho/rho must stay finite as
+        # rho -> 0 on a generic z slice (z=2/5 keeps sqrt/log branches
+        # real on the safe domain); numeric family tagging applies the
+        # same criterion at array speed for mega-run post-hoc audits
+        try:
+            uz = u.subs(z, sp.Rational(2, 5))
+            lim_u = sp.limit(uz, rho, 0, "+")
+            lim_g = sp.limit(sp.diff(uz, rho) / rho, rho, 0, "+")
+            if any(v.has(sp.oo, sp.zoo, sp.nan) or v.is_finite is False
+                   for v in (lim_u, lim_g) if v is not None):
+                return False, ("Axis-singular flux (u or u_rho/rho "
+                               "unbounded as rho -> 0)")
+        except Exception:
+            pass  # SymPy limit failure: leave to the numeric tagger
         return True, "ok"
 
     def _math_definition(self) -> str:

