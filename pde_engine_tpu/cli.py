@@ -49,7 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "store only valid rows (a 10^9-candidate depth's "
                         "reject audit alone is ~100 GB)")
     p.add_argument("--max-cache-rows", type=int, default=None,
-                   help="Device jet-cache HBM budget in rows (~550 B/row; "
+                   help="Device jet-cache HBM budget in rows (default: "
+                        "auto — an ~11 GiB budget over the family's "
+                        "jet-row bytes: 20M rows for order-4 force_free "
+                        "at ~552 B/row, ~4x that for order-2 families; "
                         "uniques beyond it are screened and stored but "
                         "not composed deeper on this chip)")
     p.add_argument("--spill-strings", nargs="?", const="auto",

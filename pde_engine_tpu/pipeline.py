@@ -326,7 +326,16 @@ class DiscoveryEngine:
             cache_sharding = shard_batch(mesh)
         # the parent-window budget is per chip; a sharded cache holds
         # mesh_size slices of that size
-        self.cache_row_limit = self.config.max_cache_rows * (
+        mcr = self.config.max_cache_rows
+        if mcr is None:
+            # auto (SearchConfig.max_cache_rows): fixed ~11 GiB HBM
+            # budget divided by the family's actual jet-row bytes, so
+            # order-2 problems get ~4x the order-4 parent window
+            row_bytes = 4 * (
+                len(problem.screen_points) * n_coeffs(problem.residual_order)
+                + len(problem.fingerprint_points) * 3)
+            mcr = max(1 << 20, (20_000_000 * 552) // row_bytes)
+        self.cache_row_limit = mcr * (
             int(mesh.devices.size) if self._cache_sharded else 1)
         self.cache = JetCache(
             n_screen=len(problem.screen_points),

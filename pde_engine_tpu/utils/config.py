@@ -170,15 +170,20 @@ class SearchConfig:
     # DB / registry sidecar).
     spill_strings: Optional[str] = None
 
-    # Hard HBM budget for the device jet cache, in rows PER CHIP
-    # (~550 B/row at order 4).  Mid-depth uniques beyond the budget are
-    # still screened, stored, and deduplicated — they just never become
-    # PARENTS of deeper candidates (the run logs the truncated parent
-    # window).  20M rows ≈ 11 GB, inside a v5e's 16 GB with batch
-    # workspace.  With ``shard_cache`` the budget scales with the mesh:
-    # K chips hold contiguous uid-range slices, so the effective parent
-    # window is K * max_cache_rows.
-    max_cache_rows: int = 20_000_000
+    # Hard HBM budget for the device jet cache, in rows PER CHIP.
+    # Mid-depth uniques beyond the budget are still screened, stored,
+    # and deduplicated — they just never become PARENTS of deeper
+    # candidates (the run logs the truncated parent window).  None =
+    # auto: spend a fixed ~11 GiB row-size-aware budget (inside a v5e's
+    # 16 GiB with batch workspace).  An order-4 family like force_free
+    # (~552 B/row: 8 screen pts x 15 jet coeffs + 6 fp pts x 3) gets
+    # 20M rows; order-2 families (laplace/GS/kerr, ~264 B/row) get ~4x
+    # the parent window from the same budget — that difference is one
+    # full extra depth of parents on a deep order-2 run.  With
+    # ``shard_cache`` the budget scales with the mesh: K chips hold
+    # contiguous uid-range slices, so the effective parent window is
+    # K * max_cache_rows.
+    max_cache_rows: Optional[int] = None
 
     # Shard the device jet cache by uid range across the mesh
     # (parallel/incremental.make_op_kernel_uidrange): chip d holds cache

@@ -183,6 +183,21 @@ def test_shard_cache_run_exceeds_per_chip_window():
     assert getattr(eng, "mesh_survivors", None) is not None
 
 
+def test_auto_cache_rows_scale_with_jet_row_bytes():
+    """max_cache_rows=None spends a fixed HBM budget row-size-aware: the
+    order-4 force_free family (~552 B/row) keeps the 20M-row window and
+    order-2 families get ~4x of it; an explicit value is respected."""
+    ff = DiscoveryEngine(load_problem("force_free"), SearchConfig(max_depth=2))
+    gs = DiscoveryEngine(load_problem("grad_shafranov"),
+                         SearchConfig(max_depth=2))
+    assert ff.cache_row_limit == 20_000_000
+    assert gs.cache_row_limit > 2 * ff.cache_row_limit
+    explicit = DiscoveryEngine(
+        load_problem("laplace"),
+        SearchConfig(max_depth=2, max_cache_rows=123))
+    assert explicit.cache_row_limit == 123
+
+
 def test_max_cache_rows_bounds_parent_window():
     """With a tiny HBM budget the engine must keep running: uniques
     beyond the cap are screened/stored but never composed deeper, so the
