@@ -25,10 +25,38 @@ completes; every timing below fences with a device->host copy.
 """
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+_PARTIAL = {}  # best-effort result, printed if the driver's timeout fires
+
+
+def _progress(msg: str) -> None:
+    """Stage timestamps on stderr (stdout carries ONE JSON line).  If a
+    driver timeout kills the run, the captured tail shows where the time
+    went (round 4's bench was killed with no diagnostic at all)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _install_sigterm_net() -> None:
+    """``timeout`` sends SIGTERM: print the best measurement we have as
+    the JSON line instead of dying silently (flagged partial)."""
+    def handler(signum, frame):
+        if _PARTIAL:
+            out = dict(_PARTIAL)
+            det = dict(out.get("detail", {}))
+            det["partial"] = True
+            det["killed_at_s"] = round(time.perf_counter() - _T0, 1)
+            out["detail"] = det
+            print(json.dumps(out), flush=True)
+        _progress(f"SIGTERM at +{time.perf_counter() - _T0:.1f}s")
+        sys.exit(143)
+    signal.signal(signal.SIGTERM, handler)
 
 
 def bench_mesh(n_devices: int, batch_size: int = 16384,
@@ -134,6 +162,8 @@ def bench_mesh(n_devices: int, batch_size: int = 16384,
 def main():
     import os
 
+    _install_sigterm_net()
+    _progress("importing jax")
     import jax
     import jax.numpy as jnp
 
@@ -155,11 +185,14 @@ def main():
     # is cache construction; the engine shares its compiled executables
     # with production runs via the persistent compile cache.
     problem = load_problem("force_free")
+    _progress(f"seeding depths 1..{seed_depth} via the production engine "
+              f"(backend={jax.default_backend()})")
     eng = DiscoveryEngine(problem, SearchConfig(
         max_depth=seed_depth, use_pallas=use_pallas,
         audit_rejects=False, snapshot_jets=False))
     eng.run(seed_depth)
     n_uniques = eng.enumerator.count_uniques()
+    _progress(f"seed done: {n_uniques} uniques, cache rows={eng.cache.n}")
     spoints, fpoints = eng._spoints, eng._fpoints
     cache = eng.cache
 
@@ -301,6 +334,10 @@ def main():
         return st_kernels[d[1]](cache.screen, cache.fp, d[2], d[3], d[4],
                                 spoints, fpoints)
 
+    _progress(f"assembled {len(dispatches)} superbatches "
+              f"({n_structured} structured, {n_tiled} tiled), "
+              f"{total} candidates")
+
     # warm-up: compile/load the executables + the fence concat
     seen_kinds = set()
     warm = []
@@ -311,6 +348,7 @@ def main():
     for d in warm:
         packed, _, _ = run_one(d)
         _ = np.asarray(jnp.concatenate([packed[:1, 0]]))
+        _progress(f"warm-up: kernel kind '{d[0]}' loaded")
 
     # Timed: dispatch every superbatch back-to-back, fence ONCE with a
     # device->host copy (per-batch fencing would measure the axon
@@ -318,6 +356,27 @@ def main():
     # the tunnel's throughput swings ~2.5x between idle and congested
     # states (PERF.md), and the minimum is the honest estimate of the
     # chip's sustained rate.
+    baseline = 50.0  # reference validations/s/process (BASELINE.md)
+
+    def result(dt):
+        per_sec = total / dt
+        return {
+            "metric": "candidate_residual_validations_per_sec_per_chip",
+            "value": round(per_sec, 1),
+            "unit": "validations/s",
+            "vs_baseline": round(per_sec / baseline, 1),
+            "detail": {
+                "candidates_timed": total,
+                "seconds": round(dt, 3),
+                "cache_uniques": n_uniques,
+                "depth_timed": seed_depth + 1,
+                "superbatches": len(dispatches),
+                "structured": n_structured,
+                "tiled": n_tiled,
+                "stream_truncated": len(dispatches) >= max_supers,
+            },
+        }
+
     dt = None
     for _rep in range(3):
         t0 = time.perf_counter()
@@ -329,25 +388,12 @@ def main():
         _ = np.asarray(fence)
         rep_dt = time.perf_counter() - t0
         dt = rep_dt if dt is None else min(dt, rep_dt)
+        _PARTIAL.clear()
+        _PARTIAL.update(result(dt))
+        _progress(f"rep {_rep + 1}/3: {rep_dt:.3f}s "
+                  f"({total / rep_dt / 1e6:.1f}M/s)")
 
-    per_sec = total / dt
-    baseline = 50.0  # reference validations/s/process (BASELINE.md)
-    print(json.dumps({
-        "metric": "candidate_residual_validations_per_sec_per_chip",
-        "value": round(per_sec, 1),
-        "unit": "validations/s",
-        "vs_baseline": round(per_sec / baseline, 1),
-        "detail": {
-            "candidates_timed": total,
-            "seconds": round(dt, 3),
-            "cache_uniques": n_uniques,
-            "depth_timed": seed_depth + 1,
-            "superbatches": len(dispatches),
-            "structured": n_structured,
-            "tiled": n_tiled,
-            "stream_truncated": len(dispatches) >= max_supers,
-        },
-    }))
+    print(json.dumps(result(dt)))
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device jet-cache HBM budget in rows (default: "
                         "auto — an ~11 GiB budget over the family's "
                         "jet-row bytes: 20M rows for order-4 force_free "
-                        "at ~552 B/row, ~4x that for order-2 families; "
+                        "at ~552 B/row, ~2x that for order-2 families; "
                         "uniques beyond it are screened and stored but "
                         "not composed deeper on this chip)")
     p.add_argument("--spill-strings", nargs="?", const="auto",

@@ -62,6 +62,12 @@ class JetCache:
         rq = self._row_quantum
         initial_capacity = -(-initial_capacity // rq) * rq
         self.capacity = initial_capacity
+        # Optional logical row cap (the engine's cache_row_limit, total
+        # across the mesh).  Appends are already clamped to it upstream;
+        # _grow also clamps so the doubling never allocates HBM past the
+        # budget (an auto-sized window that fills would otherwise double
+        # to ~2x the stated ~11 GiB — ADVICE r4).
+        self.row_limit: Optional[int] = None
         # Capacity growth quantum.  Every distinct capacity is a distinct
         # operand shape for the (large) universal op kernel — on a
         # tunneled TPU each new shape costs a multi-second executable
@@ -80,7 +86,14 @@ class JetCache:
 
     def _grow(self, need: int):
         q = self.grow_quantum
-        new_cap = max(self.capacity * 2, -(-need // q) * q)
+        cap_need = -(-need // q) * q
+        new_cap = max(self.capacity * 2, cap_need)
+        if self.row_limit is not None:
+            # never allocate past the engine's HBM budget (rounded up to
+            # the grow quantum so the executable-shape quantization
+            # holds); ``need`` still wins for pow-2-padded appends
+            new_cap = max(cap_need, min(new_cap,
+                                        -(-self.row_limit // q) * q))
         new_cap = -(-new_cap // self._row_quantum) * self._row_quantum
         pad_s = jnp.zeros((new_cap - self.capacity, self.sdim),
                           dtype=self.dtype)

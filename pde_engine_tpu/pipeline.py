@@ -330,7 +330,7 @@ class DiscoveryEngine:
         if mcr is None:
             # auto (SearchConfig.max_cache_rows): fixed ~11 GiB HBM
             # budget divided by the family's actual jet-row bytes, so
-            # order-2 problems get ~4x the order-4 parent window
+            # order-2 problems get ~2x the order-4 parent window
             row_bytes = 4 * (
                 len(problem.screen_points) * n_coeffs(problem.residual_order)
                 + len(problem.fingerprint_points) * 3)
@@ -344,6 +344,7 @@ class DiscoveryEngine:
             initial_capacity=(1 << 20) if on_accel else (1 << 14),
             grow_quantum=(1 << 20) if on_accel else None,
             sharding=cache_sharding)
+        self.cache.row_limit = self.cache_row_limit
         self._known_fp: Dict[str, np.ndarray] = {}
         self._known_sympy = {}
         self.candidates_screened = 0

@@ -177,9 +177,10 @@ class SearchConfig:
     # auto: spend a fixed ~11 GiB row-size-aware budget (inside a v5e's
     # 16 GiB with batch workspace).  An order-4 family like force_free
     # (~552 B/row: 8 screen pts x 15 jet coeffs + 6 fp pts x 3) gets
-    # 20M rows; order-2 families (laplace/GS/kerr, ~264 B/row) get ~4x
-    # the parent window from the same budget — that difference is one
-    # full extra depth of parents on a deep order-2 run.  With
+    # 20M rows; order-2 families (laplace/GS ~264 B/row, kerr ~216 B/row
+    # with its 6 screen points) get ~2-2.6x the parent window from the
+    # same budget — roughly one extra depth of parents on a deep
+    # order-2 run.  With
     # ``shard_cache`` the budget scales with the mesh: K chips hold
     # contiguous uid-range slices, so the effective parent window is
     # K * max_cache_rows.

@@ -186,7 +186,7 @@ def test_shard_cache_run_exceeds_per_chip_window():
 def test_auto_cache_rows_scale_with_jet_row_bytes():
     """max_cache_rows=None spends a fixed HBM budget row-size-aware: the
     order-4 force_free family (~552 B/row) keeps the 20M-row window and
-    order-2 families get ~4x of it; an explicit value is respected."""
+    order-2 families get ~2x of it; an explicit value is respected."""
     ff = DiscoveryEngine(load_problem("force_free"), SearchConfig(max_depth=2))
     gs = DiscoveryEngine(load_problem("grad_shafranov"),
                          SearchConfig(max_depth=2))
@@ -196,6 +196,33 @@ def test_auto_cache_rows_scale_with_jet_row_bytes():
         load_problem("laplace"),
         SearchConfig(max_depth=2, max_cache_rows=123))
     assert explicit.cache_row_limit == 123
+
+
+def test_cache_grow_clamped_to_row_limit():
+    """JetCache._grow must never allocate past the engine's HBM budget:
+    when a window fills, doubling from the current capacity would
+    overshoot the stated ~11 GiB budget by up to 2x (ADVICE r4) — the
+    capacity must clamp to row_limit rounded up to the grow quantum,
+    while still satisfying pow-2-padded appends that slightly exceed
+    the logical limit."""
+    from pde_engine_tpu.parallel.incremental import JetCache
+    c = JetCache(n_screen=2, t_screen=3, n_fp=2, initial_capacity=8,
+                 grow_quantum=8)
+    c.row_limit = 20
+    import jax.numpy as jnp
+    for _ in range(5):
+        c.append(jnp.ones((8, c.sdim)), jnp.ones((8, c.fdim)),
+                 real_rows=min(8, max(0, c.row_limit - c.n)))
+        if c.n >= c.row_limit:
+            break
+    assert c.capacity <= 24  # ceil(20/8)*8, NOT 8->16->32 doubling
+    # an oversized physical append (padding) must still fit
+    c2 = JetCache(n_screen=2, t_screen=3, n_fp=2, initial_capacity=8,
+                  grow_quantum=8)
+    c2.row_limit = 4
+    c2.append(jnp.ones((16, c2.sdim)), jnp.ones((16, c2.fdim)),
+              real_rows=4)
+    assert c2.capacity >= 16
 
 
 def test_max_cache_rows_bounds_parent_window():
