@@ -924,12 +924,31 @@ class Enumerator:
                         sel = base[~self.f_is_one[base]]
                 yield from chunks(name, sel, None)
 
-        # binary over (d1, d2) blocks
+        # binary over (d1, d2) blocks, SMALLEST block first (by |A|*|B|,
+        # d1 ascending on ties).  Anytime-search property: a depth-d
+        # stream is dominated by its (shallow, d-1) blocks — at mega
+        # scale 90%+ of the candidates pair a handful of primitives with
+        # the newest depth's millions of uniques — while the structurally
+        # diverse (mid, mid) combinations are orders of magnitude
+        # smaller.  Emitting small blocks first means a bounded or
+        # cleanly-aborted deep run has already searched every
+        # shallow-parent combination (where textbook solutions live —
+        # e.g. GS Solovev = sub(depth-3 rho**4, depth-4 4*rho**2*z**2))
+        # before the giant blocks start.  The candidate SET is order-
+        # invariant (tests/test_incremental.py pins it against the
+        # object path) and so are the dedup keys (grid-snapped
+        # fingerprints, tests/test_fp_snap.py); within-depth order only
+        # needs to be deterministic (resume checkpoints at depth
+        # barriers).
+        blocks = []
         for d1 in range(1, depth):
             d2 = depth - d1
             A, B = uid_arr(d1), uid_arr(d2)
             if not A.size or not B.size:
                 continue
+            blocks.append((int(A.size) * int(B.size), d1, d2, A, B))
+        blocks.sort(key=lambda t: (t[0], t[1]))
+        for _, d1, d2, A, B in blocks:
             if d1 != d2:
                 yield from self._cross_depth_batches(
                     A, B, d1, d2, batch_size, prune, chunks)

@@ -103,6 +103,42 @@ def test_vector_enumerator_matches_object_enumerator():
     assert obj == vec
 
 
+def test_binary_blocks_emit_smallest_first():
+    """Anytime-search block order: within a depth, binary (d1, d2)
+    blocks emit in ascending |A|*|B| (d1 ascending on ties), so a
+    bounded/aborted deep run has searched every shallow-parent
+    combination before the giant (primitive x newest-depth) blocks
+    start.  Depth 4 of laplace has blocks (1,3)/(3,1) (4 x N3) and
+    (2,2) (N2^2) — with N2 = 66 and N3 ~ 2k, (2,2) is the smaller and
+    must come first among full chunks."""
+    p = load_problem("laplace")
+    e = Enumerator(p, include_special_ops=True, prune=True)
+    for c in e.primitive_candidates():
+        e.add_unique(c)
+    for d in (2, 3):
+        for cand in e.candidates_at_depth(d):
+            e.add_unique(cand)
+    uid_depth = {}
+    for d in (1, 2, 3):
+        for u in e.uid_array(d).tolist():
+            uid_depth[u] = d
+    sizes = {(d1, 4 - d1): e.uid_array(d1).size * e.uid_array(4 - d1).size
+             for d1 in (1, 2, 3)}
+    first_seen = []
+    bs = 64
+    for op, a_u, b_u in e.vector_batches_at_depth(4, bs):
+        if b_u is None or a_u.size < bs:
+            continue  # unary, or deferred tail (depth-end by contract)
+        blk = (uid_depth[int(a_u[0])], uid_depth[int(b_u[0])])
+        if blk not in first_seen:
+            first_seen.append(blk)
+    assert first_seen, "test premise: depth-4 must emit full chunks"
+    emitted_sizes = [sizes[b] for b in first_seen]
+    assert emitted_sizes == sorted(emitted_sizes), (first_seen,
+                                                    emitted_sizes)
+    assert first_seen[0] == (2, 2)  # the genuinely smallest block
+
+
 def test_vector_enumerator_defers_tails():
     """Deferred-tail emission order (the structured-dispatch enabler):
     every FULL batch_size-aligned chunk streams before any sub-batch
