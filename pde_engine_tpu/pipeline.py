@@ -1769,17 +1769,146 @@ class DiscoveryEngine:
         if n0 < total:
             if total > self.cache.capacity:
                 self.cache._grow(total)
-            uniques = [self.enumerator.unique_at(i)
-                       for i in range(n0, total)]
-            for group, evals, out_s, out_f in self._eval_tape_groups(
-                    uniques):
-                uids = jnp.asarray(
-                    np.asarray([u.uid for u in group], dtype=np.int32))
-                self.cache.screen = self.cache.screen.at[uids].set(
-                    out_s.astype(self.cache.dtype))
-                self.cache.fp = self.cache.fp.at[uids].set(
-                    out_f.astype(self.cache.dtype))
+            rest = self._replay_composed_rows(n0, total)
+            if rest.size:
+                uniques = [self.enumerator.unique_at(int(i))
+                           for i in rest]
+                for group, evals, out_s, out_f in self._eval_tape_groups(
+                        uniques):
+                    uids = jnp.asarray(
+                        np.asarray([u.uid for u in group],
+                                   dtype=np.int32))
+                    self.cache.screen = self.cache.screen.at[uids].set(
+                        out_s.astype(self.cache.dtype))
+                    self.cache.fp = self.cache.fp.at[uids].set(
+                        out_f.astype(self.cache.dtype))
         self.cache.n = max(self.cache.n, total)
+
+    def _replay_composed_rows(self, lo: int, total: int) -> np.ndarray:
+        """Seed cache rows [lo, total) for COMPOSED uniques by replaying
+        their structural (op, a, b) triples through the production
+        kernels, depth-ascending — a unique's parents live at strictly
+        lower depths, so every operand row is already cached (snapshot
+        prefix, or an earlier replay depth) when its children dispatch.
+        This reproduces the jets a fresh run would have appended
+        bit-identically (every kernel path is asserted bit-equal:
+        tests/test_structured.py, test_pipeline.py) at device speed —
+        unlike the float64 tape-oracle reseed it replaces, whose
+        f32-rounded rows could flip borderline screen verdicts of
+        deeper children relative to a fresh run.  Returns the uids it
+        cannot replay (leaves / depth-1 rows, which carry no triple);
+        the caller tape-evaluates those.
+
+        Reference analog: resume rebuilds validator pools from the run
+        DB (general_method_paper_reproduction.py:973-1107); here the
+        device cache is part of the resumable state and must match a
+        fresh run exactly for dedup/screen parity."""
+        import jax.numpy as jnp
+
+        from .parallel.incremental import OP_INDEX
+
+        enum = self.enumerator
+        ops_raw = np.asarray(enum.u_op[lo:total])
+        idx = np.arange(lo, total, dtype=np.int64)
+        composed = idx[ops_raw >= 0]
+        leftovers = idx[ops_raw < 0]
+        if composed.size == 0:
+            return leftovers
+        # surface-op id -> kernel op id (OP_INDEX), via the name table
+        op_lut = np.asarray(
+            [OP_INDEX.get(n, -1) for n in enum._op_names], np.int32)
+        depths = np.asarray(enum.u_depth[composed])
+        kops = op_lut[np.asarray(enum.u_op[composed])]
+        assert int(kops.min()) >= 0, "unknown surface op in replay"
+        order = np.lexsort((composed, kops, depths))
+        composed, depths, kops = (composed[order], depths[order],
+                                  kops[order])
+        a_all = np.asarray(enum.u_a[composed], np.int32)
+        b_all = np.asarray(enum.u_b[composed], np.int32)
+        b_all = np.where(b_all < 0, 0, b_all)
+        saved_screened = self.candidates_screened  # replay is not
+        #   screening work — keep the run's counters honest
+
+        use_seg = self._use_segmented() and self.mesh is None
+        TILE = 512
+        SUPER = max(TILE, (self.config.batch_size // TILE) * TILE)
+        n_tiles = SUPER // TILE
+        seg = self._seg_kernel() if use_seg else None
+
+        def scatter(uids_np, out_s, out_f, n_real=None):
+            sl = slice(None) if n_real is None else slice(0, n_real)
+            uids = jnp.asarray(np.asarray(uids_np, np.int32))
+            self.cache.screen = self.cache.screen.at[uids].set(
+                out_s[sl].astype(self.cache.dtype))
+            self.cache.fp = self.cache.fp.at[uids].set(
+                out_f[sl].astype(self.cache.dtype))
+
+        pos = 0
+        n = composed.size
+        while pos < n:
+            d = depths[pos]
+            dend = pos + int(np.searchsorted(depths[pos:], d, "right"))
+            # one depth at a time: a super must never contain a child of
+            # a row it also contains (the kernel reads the cache)
+            dp = pos
+            if not use_seg:
+                while dp < dend:
+                    oend = dp + int(np.searchsorted(kops[dp:dend],
+                                                    kops[dp], "right"))
+                    name = None
+                    for nm, i in OP_INDEX.items():
+                        if i == int(kops[dp]):
+                            name = nm
+                            break
+                    packed, out_s, out_f = self._eval_op_idx(
+                        name, a_all[dp:oend], b_all[dp:oend])
+                    scatter(composed[dp:oend], out_s, out_f,
+                            n_real=oend - dp)
+                    dp = oend
+                pos = dend
+                continue
+            # segmented: pack the depth's op-runs into tile-aligned
+            # superbatches.  Pads REPEAT the last real row of their run
+            # (same op, same operands), so their kernel outputs are
+            # bit-identical copies and scatter harmlessly onto that same
+            # uid — no scratch row, no fresh executable shapes beyond
+            # the production (SUPER, capacity-quantum) ones.
+            while dp < dend:
+                ab = np.zeros((SUPER, 2), np.int32)
+                t_ops = np.zeros(n_tiles, np.int32)
+                uids = np.zeros(SUPER, np.int64)
+                fill = 0  # in tiles
+                while dp < dend and fill < n_tiles:
+                    oend = dp + int(np.searchsorted(kops[dp:dend],
+                                                    kops[dp], "right"))
+                    room = (n_tiles - fill) * TILE
+                    take = min(oend - dp, room)
+                    ntile = -(-take // TILE)
+                    s = fill * TILE
+                    ab[s:s + take, 0] = a_all[dp:dp + take]
+                    ab[s:s + take, 1] = b_all[dp:dp + take]
+                    uids[s:s + take] = composed[dp:dp + take]
+                    pad = ntile * TILE - take
+                    if pad:
+                        ab[s + take:s + take + pad] = ab[s + take - 1]
+                        uids[s + take:s + take + pad] = uids[s + take - 1]
+                    t_ops[fill:fill + ntile] = kops[dp]
+                    fill += ntile
+                    dp += take
+                if fill < n_tiles:  # depth tail: repeat-fill the super
+                    s = fill * TILE
+                    ab[s:] = ab[s - 1]
+                    uids[s:] = uids[s - 1]
+                    t_ops[fill:] = t_ops[fill - 1]
+                t0 = time.perf_counter()
+                packed, out_s, out_f = seg(
+                    self.cache.screen, self.cache.fp, jnp.asarray(ab),
+                    jnp.asarray(t_ops), self._spoints, self._fpoints)
+                scatter(uids, out_s, out_f)
+                self.device_seconds += time.perf_counter() - t0
+            pos = dend
+        self.candidates_screened = saved_screened
+        return leftovers
 
     # ------------------------------------------------------------------
     def summary(self) -> Dict:

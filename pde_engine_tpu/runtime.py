@@ -850,7 +850,7 @@ class DiscoveryRun:
         cache_n = state.get("cache_n")
         eng.seed_cache_from_uniques(
             snapshot=snap,
-            limit=None if cache_n is None else int(cache_n))
+            limit=self._resume_seed_limit(state, completed, cache_n))
         self._restore_stats_stubs(state, completed)
         self._resume_start_depth = completed + 1
         self._log(f"Resumed {run_id}: {len(rows)} rows, "
@@ -930,13 +930,50 @@ class DiscoveryRun:
         snap = self._load_jet_snapshot()
         if snap is None:
             self._invalidate_jet_snapshot()   # see the DB-path comment
-        eng.seed_cache_from_uniques(snapshot=snap, limit=cache_n)
+        eng.seed_cache_from_uniques(
+            snapshot=snap,
+            limit=self._resume_seed_limit(state, completed, cache_n))
         self._resume_start_depth = completed + 1
         self._log(f"Resumed {self.run_id} via registry sidecar: {n} "
                   f"uniques ({len(eng.valid_rows)} valid), completed "
                   f"depth {completed}, cache {eng.cache.n} rows"
                   + (f", jet snapshot x{snap['n']}" if snap else
                      ", no jet snapshot (float64 re-derivation)"))
+
+    def _resume_seed_limit(self, state, completed: int,
+                           cache_n) -> Optional[int]:
+        """Parent-window size to restore on resume.
+
+        Re-running an interrupted depth must use EXACTLY the window the
+        original run enumerated with (``cache_n``, saved at each depth
+        barrier) — deeper candidates compose only from cached parents.
+        But when a COMPLETED run is EXTENDED past its recorded
+        max_depth, the saved window was clamped by the FINAL-depth
+        append limit (the original run had no deeper depth to feed),
+        not by the HBM budget: a fresh run at the new max_depth would
+        have kept appending the uid-prefix up to ``cache_row_limit``.
+        Widen to exactly that, so resumed-and-extended == fresh holds at
+        mega scale too (the missing rows replay through the production
+        kernels — pipeline._replay_composed_rows)."""
+        if cache_n is None:
+            return None
+        limit = int(cache_n)
+        try:
+            orig_max = int(state.get("max_depth") or completed)
+        except Exception:
+            orig_max = completed
+        if (completed >= orig_max
+                and self.config.max_depth > completed):
+            eng = self.engine
+            limit = max(limit, min(eng.enumerator.count_uniques(),
+                                   eng.cache_row_limit))
+            if limit > int(cache_n):
+                self._log(f"resume: extending parent window "
+                          f"{int(cache_n)} -> {limit} rows (completed "
+                          f"run extended past its recorded max_depth "
+                          f"{orig_max}; missing jets replay through "
+                          f"the production kernels)")
+        return limit
 
     def _restore_stats_stubs(self, state, completed: int):
         """Reconstruct DepthStats for completed depths from the saved

@@ -644,3 +644,89 @@ def test_no_audit_resume_extends_two_depths(tmp_path):
            [eb.expr_str_of(u) for u in range(n)]
     fresh.close()
     res.close()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("use_segmented", [False, True])
+def test_extension_resume_widens_final_append_window(tmp_path,
+                                                     use_segmented):
+    """Extending a COMPLETED run past its recorded max_depth must widen
+    the parent window to what a fresh run would have appended: the saved
+    cache_n was clamped by the FINAL-depth append limit (the original
+    run had no deeper depth to feed), not by the HBM budget.  The
+    missing jets replay through the production kernels
+    (pipeline._replay_composed_rows), so resumed+extended == fresh holds
+    even when the original final depth stopped appending early.  Before
+    the widening, this resume silently under-enumerated depth 4 (the
+    depth-3 parents beyond cache_n never composed children)."""
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    # truncate hard: only 10 depth-3 uniques get cached in run A.
+    # use_segmented=True routes the replay through the tile-aligned
+    # superbatch packing (interpret-mode Pallas on CPU) — the path a
+    # production TPU resume takes.
+    small = dict(final_append_limit=10, audit_rejects=False,
+                 use_segmented=use_segmented)
+    fresh = DiscoveryRun("laplace",
+                         config=SearchConfig(max_depth=4, **small),
+                         db_path=str(tmp_path / "fresh.db"),
+                         verbose=False)
+    frep = fresh.run(4)
+
+    part = DiscoveryRun("laplace",
+                        config=SearchConfig(max_depth=3, **small),
+                        db_path=str(tmp_path / "part.db"), verbose=False)
+    part.run(3)
+    rid = part.run_id
+    n_d3 = part.engine.enumerator.count_uniques()
+    assert part.engine.cache.n < n_d3, \
+        "test premise: the final depth must stop appending early"
+    part.close()
+
+    res = DiscoveryRun.resume("laplace", rid,
+                              config=SearchConfig(max_depth=4, **small),
+                              db_path=str(tmp_path / "part.db"),
+                              verbose=False)
+    # window widened to every depth<=3 unique (cache_row_limit >> n here)
+    assert res.engine.cache.n == n_d3
+    rrep = res.continue_run(4)
+
+    assert rrep["by_depth"] == frep["by_depth"]
+    assert rrep["total_valid"] == frep["total_valid"]
+    fv = {(int(r["id"]), r["expression"], r["signature"])
+          for r in fresh.db.rows("is_valid=1")}
+    rv = {(int(r["id"]), r["expression"], r["signature"])
+          for r in res.db.rows("is_valid=1")}
+    assert rv == fv
+    fresh.close()
+    res.close()
+
+
+def test_reresume_interrupted_depth_keeps_saved_window(tmp_path):
+    """The widening applies ONLY to extensions of completed runs: a run
+    whose max_depth is NOT yet reached resumes with exactly the saved
+    cache_n window (re-running an interrupted depth with a different
+    parent window would compose candidates the original depth never
+    saw)."""
+    from pde_engine_tpu.runtime import DiscoveryRun
+    from pde_engine_tpu.utils.config import SearchConfig
+
+    part = DiscoveryRun("laplace",
+                        config=SearchConfig(max_depth=3,
+                                            audit_rejects=False),
+                        db_path=str(tmp_path / "p.db"), verbose=False)
+    part.run(2)  # completed depth 2 of a max_depth-3 run
+    rid = part.run_id
+    cache_n = part.engine.cache.n
+    part.close()
+
+    res = DiscoveryRun.resume("laplace", rid,
+                              config=SearchConfig(max_depth=3,
+                                                  audit_rejects=False),
+                              db_path=str(tmp_path / "p.db"),
+                              verbose=False)
+    assert res.engine.cache.n == cache_n
+    res.close()
