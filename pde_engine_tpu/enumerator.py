@@ -874,13 +874,21 @@ class Enumerator:
 
         Emission order within a depth: every FULL ``batch_size``-aligned
         chunk streams in block order first; every sub-``batch_size`` tail
-        is deferred to the END of the depth stream.  Full chunks then
+        is deferred to the end of ITS (d1, d2) block.  Full chunks then
         keep the pipeline's mixed superbatch buffer at exact-SUPER fill
         (no padding flush when a structured-dispatch run begins —
         pipeline.structured_run_kind), and the tails pack densely into
-        the final superbatches.  Within-depth order only needs to be
-        deterministic: parents all live at depths < d, so the candidate
-        set is order-invariant, and resume checkpoints at depth barriers.
+        the block's final superbatches.  Tails flush per BLOCK, not per
+        depth: a mid-depth (d, d') block whose runs are all shorter than
+        batch_size (e.g. a (3, 4) block with an 82k-unique deep side
+        under a 262k batch) would otherwise have its ENTIRE content
+        pushed to the depth's end, defeating the smallest-block-first
+        anytime order below.  The cost is one possibly-padded mixed
+        flush per block boundary (~10 per depth); the gain is that the
+        stream position of every candidate tracks its block's position.
+        Within-depth order only needs to be deterministic: parents all
+        live at depths < d, so the candidate set is order-invariant, and
+        resume checkpoints at depth barriers.
 
         ``max_parent_uid`` bounds the parent window to uids whose jets are
         device-resident (the single-chip HBM budget,
@@ -910,6 +918,11 @@ class Enumerator:
                 deferred.append((name, a[n_full:],
                                  None if b is None else b[n_full:]))
 
+        def flush_tails():
+            out = list(deferred)
+            deferred.clear()
+            return out
+
         # unary over depth-1 uniques
         prev = uid_arr(depth - 1)
         if prev.size:
@@ -923,6 +936,7 @@ class Enumerator:
                                   "pow_neg_3_2"):
                         sel = base[~self.f_is_one[base]]
                 yield from chunks(name, sel, None)
+            yield from flush_tails()
 
         # binary over (d1, d2) blocks, SMALLEST block first (by |A|*|B|,
         # d1 ascending on ties).  Anytime-search property: a depth-d
@@ -952,9 +966,11 @@ class Enumerator:
             if d1 != d2:
                 yield from self._cross_depth_batches(
                     A, B, d1, d2, batch_size, prune, chunks)
+                yield from flush_tails()
                 continue
             if d1 >= 2:
                 yield from self._same_depth_batches(A, prune, chunks)
+                yield from flush_tails()
                 continue
             a = np.repeat(A, B.size)
             b = np.tile(B, A.size)
@@ -988,8 +1004,10 @@ class Enumerator:
                     fi.sort()
                     sa, sb = sa[fi], sb[fi]
                 yield from chunks(name, sa, sb)
+            yield from flush_tails()
 
-        # deferred sub-batch_size tails, packed densely at depth end
+        # safety net: flush_tails() after each segment should leave
+        # nothing here
         yield from deferred
 
     def _same_depth_batches(self, A, prune, chunk_fn):

@@ -139,12 +139,32 @@ def test_binary_blocks_emit_smallest_first():
     assert first_seen[0] == (2, 2)  # the genuinely smallest block
 
 
-def test_vector_enumerator_defers_tails():
+def _segment_ids(enum, depth, batches):
+    """Map each emitted batch to its emission segment: 'u' for the
+    unary block, (depth_a, depth_b) for a binary block.  Tails flush at
+    segment boundaries, so segments are contiguous in the stream."""
+    ids = []
+    for op, a_u, b_u in batches:
+        if b_u is None:
+            ids.append("u")
+        else:
+            ids.append((int(enum.u_depth[int(a_u[0])]) or 1,
+                        int(enum.u_depth[int(b_u[0])]) or 1))
+    return ids
+
+
+def test_vector_enumerator_defers_tails_per_block():
     """Deferred-tail emission order (the structured-dispatch enabler):
-    every FULL batch_size-aligned chunk streams before any sub-batch
-    tail, so the pipeline's mixed superbatch buffer never flushes
-    partially filled when a structured run begins.  The candidate SET is
-    pinned against the object path by
+    within each emission segment (the unary block / one binary (d1, d2)
+    block), every FULL batch_size-aligned chunk streams before any
+    sub-batch tail, so the pipeline's mixed superbatch buffer never
+    flushes partially filled when a structured run begins.  Tails flush
+    at the END OF THEIR BLOCK, not the depth: a mid-depth block whose
+    runs are all sub-batch-size must not have its content pushed past
+    the later (larger) blocks, or the smallest-block-first anytime
+    order is defeated (the round-5 GS depth-7 lesson: the (3,4) block
+    holding the Solovev candidate deferred wholesale to position 2.1B
+    of 3.0B).  The candidate SET is pinned against the object path by
     test_vector_enumerator_matches_object_enumerator; this pins the
     order contract."""
     p = load_problem("force_free")
@@ -154,10 +174,24 @@ def test_vector_enumerator_defers_tails():
     for cand in enum.candidates_at_depth(2):
         enum.add_unique(cand)
     bs = 64  # small enough that depth-3 blocks emit both fulls and tails
-    sizes = [a.size for _, a, _ in enum.vector_batches_at_depth(3, bs)]
+    batches = list(enum.vector_batches_at_depth(3, bs))
+    sizes = [a.size for _, a, _ in batches]
     assert any(s == bs for s in sizes) and any(s < bs for s in sizes)
-    first_tail = next(i for i, s in enumerate(sizes) if s < bs)
-    assert all(s < bs for s in sizes[first_tail:])
+    segs = _segment_ids(enum, 3, batches)
+    # segments are contiguous (tails never leak past their block)
+    seen = set()
+    prev = None
+    for s in segs:
+        if s != prev:
+            assert s not in seen, f"segment {s} split across the stream"
+            seen.add(s)
+            prev = s
+    # within each segment: fulls before tails
+    for seg in seen:
+        seg_sizes = [sz for sz, s in zip(sizes, segs) if s == seg]
+        first_tail = next((i for i, sz in enumerate(seg_sizes)
+                           if sz < bs), len(seg_sizes))
+        assert all(sz < bs for sz in seg_sizes[first_tail:]), seg
 
 
 def test_same_depth_blocks_match_object_enumerator_depth4():
@@ -166,7 +200,7 @@ def test_same_depth_blocks_match_object_enumerator_depth4():
     arrays so it rides the structured-dispatch gather bypass.  Pins the
     candidate SET against the object path with prune both on and off
     (off removes the a != b diagonal exclusion), plus duplicate-freedom
-    and the fulls-before-tails order contract."""
+    and the per-segment fulls-before-tails order contract."""
     p = load_problem("laplace")
     for prune in (True, False):
         def mk():
@@ -182,9 +216,11 @@ def test_same_depth_blocks_match_object_enumerator_depth4():
         for cand in mk().candidates_at_depth(4):
             obj.add((cand.op_name, cand.a.uid,
                      cand.b.uid if cand.b is not None else -1))
+        e4 = mk()
         vec, n_vec, sizes = set(), 0, []
         bs = 64
-        for op, a_u, b_u in mk().vector_batches_at_depth(4, bs):
+        batches = list(e4.vector_batches_at_depth(4, bs))
+        for op, a_u, b_u in batches:
             n_vec += a_u.size
             sizes.append(a_u.size)
             if b_u is None:
@@ -194,9 +230,12 @@ def test_same_depth_blocks_match_object_enumerator_depth4():
                            for a, b in zip(a_u.tolist(), b_u.tolist()))
         assert obj == vec
         assert len(vec) == n_vec  # no swapped-pair duplicates
-        first_tail = next((i for i, s in enumerate(sizes) if s < bs),
-                          len(sizes))
-        assert all(s < bs for s in sizes[first_tail:])
+        segs = _segment_ids(e4, 4, batches)
+        for seg in set(segs):
+            seg_sizes = [sz for sz, s in zip(sizes, segs) if s == seg]
+            first_tail = next((i for i, sz in enumerate(seg_sizes)
+                               if sz < bs), len(seg_sizes))
+            assert all(sz < bs for sz in seg_sizes[first_tail:]), seg
 
 
 def test_vector_enumerator_counts_depth2():
