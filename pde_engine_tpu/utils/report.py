@@ -80,6 +80,20 @@ def build_report(problem, rows: Optional[List] = None,
         by_depth = dict(by_depth_counts or {})
         valid_rows = list(valid_rows or [])
         total_generated = sum(v["generated"] for v in by_depth.values())
+        # an aborted-mid-depth run stores valid rows for a depth whose
+        # generated/unique totals never reached a barrier — show them as
+        # a partial depth instead of silently dropping the row counts
+        # from the table (no-audit runs take this path; reject rows are
+        # not persisted, so 'generated' for the partial depth is
+        # genuinely unknown)
+        seen = {int(d) for d in by_depth}
+        partial = defaultdict(int)
+        for r in valid_rows:
+            d = int(r.depth if hasattr(r, "depth") else r["depth"])
+            if d not in seen:
+                partial[d] += 1
+        for d, nv in partial.items():
+            by_depth[d] = {"generated": 0, "valid": nv, "partial": True}
     for r in valid_rows:
         name = (r.paper_solution_name if hasattr(r, "paper_solution_name")
                 else r["paper_solution_name"])
@@ -169,8 +183,13 @@ def format_report_text(report: Dict) -> str:
     lines.append("")
     lines.append("By depth:")
     for d, v in report["by_depth"].items():
-        lines.append(f"  depth {d}: {v['generated']:8d} generated, "
-                     f"{v['valid']:6d} valid")
+        if v.get("partial"):
+            lines.append(f"  depth {d}: (aborted mid-depth) "
+                         f"{v['valid']:6d} valid rows stored; "
+                         "generated count not recorded")
+        else:
+            lines.append(f"  depth {d}: {v['generated']:8d} generated, "
+                         f"{v['valid']:6d} valid")
     lines.append("")
     expected = report["paper_solutions_expected"]
     found = report["paper_solutions_found"]
