@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heavy-checks", action="store_true",
                    help="Run regularity/finiteness/anchor checks inline "
                         "instead of deferring")
+    p.add_argument("--no-report-families", action="store_true",
+                   help="Skip the family-breakdown pass in --print-run-id "
+                        "reports (without a populated registry it falls "
+                        "back to per-row SymPy at ~1.4k rows/s — hours on "
+                        "a 10^7-valid partial mega-run)")
     p.add_argument("--print-run-id", type=str,
                    help="Print results for an existing run (DB only)")
     p.add_argument("--watch-run", type=str,
@@ -221,7 +226,7 @@ def main(argv=None) -> int:
             return 1
         run = DiscoveryRun(prob, config=config,
                            run_id=args.print_run_id, db_path=db_path)
-        run.print_report_from_db()
+        run.print_report_from_db(families=not args.no_report_families)
         if args.verify_pde:
             run.verify_pde_from_db(scope=args.verify_scope,
                                    limit=args.verify_limit)

@@ -1102,7 +1102,13 @@ class DiscoveryRun:
                 "rows")
         return out
 
-    def print_report_from_db(self, classify_novel: bool = True) -> Dict:
+    def print_report_from_db(self, classify_novel: bool = True,
+                             families: bool = True) -> Dict:
+        """``families=False`` skips the family-breakdown pass: without a
+        populated registry (print-run-id on a cold process, or rows from
+        a depth beyond the resumable barrier) tagging falls back to
+        per-row SymPy parsing (~1.4k rows/s) — hours on a 10^7-valid
+        partial mega-run where the breakdown is not worth the wait."""
         rows = self.db.rows()
         state = self.db.load_generator_state() or {}
         # runs with audit_rejects off hold only valid rows — the saved
@@ -1122,7 +1128,8 @@ class DiscoveryRun:
                               by_depth_counts=counts,
                               valid_rows=(valid if counts is not None
                                           else None),
-                              **self._report_extras(valid))
+                              **self._report_extras(valid,
+                                                    families=families))
         if counts is not None:
             self._log("NOTE: reject rows were not persisted "
                       "(audit_rejects=0); totals come from the saved "
