@@ -159,6 +159,34 @@ def bench_mesh(n_devices: int, batch_size: int = 16384,
     }))
 
 
+def _seed_cache_path(problem_slug: str, seed_depth: int,
+                     batch_size: int) -> str:
+    """Digest-keyed seed cache: the depth-1..seed_depth jet-cache rows
+    and the emitted depth-(seed_depth+1) stream are a pure function of
+    the package source + parameters, so later bench runs (including the
+    driver's, which killed a cold ~5-min run on its timeout in round 4)
+    skip the ~3.5-min tunnel seeding and go straight to the timed
+    window.  Any source change rotates the key and falls back to a
+    fresh seed."""
+    import glob
+    import hashlib
+    import os
+    h = hashlib.sha256()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(root, "pde_engine_tpu",
+                                           "**", "*.py"),
+                              recursive=True)):
+        h.update(f.encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    h.update(f"{problem_slug}|{seed_depth}|{batch_size}"
+             f"|{os.environ.get('PDE_BENCH_MAX_SUPERS', '160')}".encode())
+    d = os.path.join(os.path.expanduser("~"), ".cache",
+                     "pde_engine_bench")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"seed_{h.hexdigest()[:16]}.npz")
+
+
 def main():
     import os
 
@@ -185,14 +213,46 @@ def main():
     # is cache construction; the engine shares its compiled executables
     # with production runs via the persistent compile cache.
     problem = load_problem("force_free")
-    _progress(f"seeding depths 1..{seed_depth} via the production engine "
-              f"(backend={jax.default_backend()})")
-    eng = DiscoveryEngine(problem, SearchConfig(
-        max_depth=seed_depth, use_pallas=use_pallas,
-        audit_rejects=False, snapshot_jets=False))
-    eng.run(seed_depth)
-    n_uniques = eng.enumerator.count_uniques()
-    _progress(f"seed done: {n_uniques} uniques, cache rows={eng.cache.n}")
+    seed_file = _seed_cache_path(problem.slug, seed_depth, batch_size)
+    stream = None          # list of (op_name, a_u, b_u) depth-5 batches
+    save_seed = False
+    eng = None
+    if os.path.exists(seed_file):
+        try:
+            z = np.load(seed_file, allow_pickle=False)
+            n_uniques = int(z["n_uniques"])
+            eng = DiscoveryEngine(problem, SearchConfig(
+                max_depth=seed_depth, use_pallas=use_pallas,
+                audit_rejects=False, snapshot_jets=False))
+            eng.cache.load_rows(z["screen"], z["fp"])
+            eng.cache.n = int(z["screen"].shape[0])
+            ops_n = z["ops"]
+            lens = z["lens"]
+            a_cat, b_cat = z["a"], z["b"]
+            names = [str(s) for s in z["op_names"].tolist()]
+            stream, pos = [], 0
+            for oi, ln in zip(ops_n.tolist(), lens.tolist()):
+                a_u = a_cat[pos:pos + ln]
+                b_u = b_cat[pos:pos + ln]
+                stream.append((names[oi], a_u,
+                               None if b_u[0] < 0 else b_u))
+                pos += ln
+            _progress(f"seed cache hit: {n_uniques} uniques, "
+                      f"{len(stream)} stream batches ({seed_file})")
+        except Exception as e:
+            _progress(f"seed cache unusable ({e!r}); reseeding")
+            stream, eng = None, None
+    if stream is None:
+        _progress(f"seeding depths 1..{seed_depth} via the production "
+                  f"engine (backend={jax.default_backend()})")
+        eng = DiscoveryEngine(problem, SearchConfig(
+            max_depth=seed_depth, use_pallas=use_pallas,
+            audit_rejects=False, snapshot_jets=False))
+        eng.run(seed_depth)
+        n_uniques = eng.enumerator.count_uniques()
+        _progress(f"seed done: {n_uniques} uniques, "
+                  f"cache rows={eng.cache.n}")
+        save_seed = True
     spoints, fpoints = eng._spoints, eng._fpoints
     cache = eng.cache
 
@@ -249,8 +309,13 @@ def main():
         t_opkind = np.zeros(n_tiles, np.int32)
         t_fill = 0
 
-    for op_name, a_u, b_u in eng.enumerator.vector_batches_at_depth(
-            seed_depth + 1, batch_size, max_parent_uid=cache.n):
+    gen = (iter(stream) if stream is not None else
+           eng.enumerator.vector_batches_at_depth(
+               seed_depth + 1, batch_size, max_parent_uid=cache.n))
+    collected = [] if save_seed else None
+    for op_name, a_u, b_u in gen:
+        if collected is not None:
+            collected.append((op_name, a_u, b_u))
         if len(dispatches) >= max_supers:
             break
         opid = OP_INDEX[op_name]
@@ -323,6 +388,31 @@ def main():
         flush_tiled()
     if fill and len(dispatches) < max_supers:
         flush_mixed()
+
+    if save_seed and collected:
+        try:
+            names = sorted({c[0] for c in collected})
+            name_ix = {n: i for i, n in enumerate(names)}
+            a_cat = np.concatenate([c[1] for c in collected]).astype(
+                np.int32)
+            b_cat = np.concatenate(
+                [np.full(c[1].shape, -1, np.int32) if c[2] is None
+                 else c[2].astype(np.int32) for c in collected])
+            np.savez(  # uncompressed: load speed over disk
+                seed_file,
+                n_uniques=np.int64(n_uniques),
+                screen=np.asarray(cache.screen[:cache.n], np.float32),
+                fp=np.asarray(cache.fp[:cache.n], np.float32),
+                ops=np.asarray([name_ix[c[0]] for c in collected],
+                               np.int16),
+                lens=np.asarray([c[1].size for c in collected],
+                                np.int32),
+                a=a_cat, b=b_cat,
+                op_names=np.asarray(names))
+            _progress(f"seed cache saved: {seed_file} "
+                      f"({os.path.getsize(seed_file) >> 20} MB)")
+        except Exception as e:
+            _progress(f"seed cache save failed ({e!r}); continuing")
 
     def run_one(d):
         if d[0] == "m":
